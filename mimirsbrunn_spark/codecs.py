@@ -1,0 +1,258 @@
+"""Time-series compression codecs — "mimir-ts v1".
+
+- Timestamps: delta-of-delta with the Gorilla §4.1.1 range ladder
+  ('0' | '10'+7b | '110'+9b | '1110'+12b | '1111'+64b).
+- Values: Gorilla XOR, simplified (each non-zero XOR re-encodes its own
+  leading/meaningful window: '0' | '1' + 6b lead + 6b (meaningful−1) +
+  meaningful bits). The simplification removes the sequential window-reuse
+  dependency of canonical Gorilla so ENCODE IS FULLY VECTORIZED in numpy —
+  bit layout pinned identically in oracle/reference.py (the pure-Python
+  reference the bitstreams must match byte-for-byte).
+
+Format notes: bitstreams are MSB-first, zero-padded to a byte boundary;
+first_ts / first value of each measure ride out-of-band in chunk columns
+(n_points, first_ts, first_val, first_bytes).
+
+Encode runs inside Arrow-batched ``applyInPandas`` grouped by (host, tier) —
+mirroring the reference's chunked ``pack(1000).par_map`` bulk pipeline
+(/root/reference/libs/mimir/src/rubber.rs:684-699) whose chunk = our Arrow
+batch. No per-row Python anywhere on the encode path (north rule).
+
+Decode is the validation path (round-trip equality gate): numpy unpackbits +
+a per-point state walk (variable-length prefix codes are inherently
+sequential). It never sits on the hot write path.
+
+Scale: one task per (host, tier) group; groups are rolled-up series (bounded
+by time range, not doc count) so group size is even across hosts — the skew
+answer of gapfill.py applies here too. At 100 TB, chunking further splits by
+time (chunk_start) via the same groupby key extension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# vectorized bit packing
+# ---------------------------------------------------------------------------
+
+
+def _pack_fields(fields: list[tuple[np.ndarray, np.ndarray]]) -> bytes:
+    """Pack per-element variable-length bit fields into a single MSB-first
+    bitstream. ``fields`` is an ordered list of (values uint64, nbits int64)
+    arrays, all of length n; element i contributes field1[i], field2[i], …
+    consecutively. Fully vectorized (no per-element Python)."""
+    if not fields:
+        return b""
+    n = len(fields[0][0])
+    if n == 0:
+        return b""
+    lens = np.stack([f[1] for f in fields], axis=1)  # (n, k)
+    flat_lens = lens.reshape(-1)  # element-major, field-minor
+    total = int(flat_lens.sum())
+    if total == 0:
+        return b""
+    starts = np.concatenate([[0], np.cumsum(flat_lens)[:-1]])
+    flat_vals = np.stack([f[0].astype(np.uint64) for f in fields], axis=1).reshape(-1)
+
+    nz = flat_lens > 0
+    lens_nz = flat_lens[nz]
+    vals_rep = np.repeat(flat_vals[nz], lens_nz)
+    lens_rep = np.repeat(lens_nz, lens_nz)
+    starts_rep = np.repeat(starts[nz], lens_nz)
+    within = np.arange(len(vals_rep), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens_nz)[:-1]]), lens_nz
+    )
+    shift = (lens_rep - 1 - within).astype(np.uint64)
+    bits = ((vals_rep >> shift) & np.uint64(1)).astype(np.uint8)
+    out = np.zeros(total, dtype=np.uint8)
+    out[starts_rep + within] = bits
+    return np.packbits(out).tobytes()
+
+
+def encode_dod(ts: np.ndarray) -> bytes:
+    """ts: int64 epoch seconds, ascending. Bitstream for points 1..n-1."""
+    ts = np.asarray(ts, dtype=np.int64)
+    if len(ts) < 2:
+        return b""
+    deltas = np.diff(ts)
+    dod = np.diff(np.concatenate([[0], deltas]))  # dod_1 = delta_1
+    a = np.abs(dod)
+    # range ladder (asymmetric upper bounds per Gorilla §4.1.1)
+    zero = dod == 0
+    r7 = ~zero & (dod >= -63) & (dod <= 64)
+    r9 = ~zero & ~r7 & (dod >= -255) & (dod <= 256)
+    r12 = ~zero & ~r7 & ~r9 & (dod >= -2047) & (dod <= 2048)
+    r64 = ~zero & ~r7 & ~r9 & ~r12
+
+    prefix_val = np.select([zero, r7, r9, r12, r64], [0, 0b10, 0b110, 0b1110, 0b1111]).astype(np.uint64)
+    prefix_len = np.select([zero, r7, r9, r12, r64], [1, 2, 3, 4, 4]).astype(np.int64)
+    payload_val = np.select(
+        [zero, r7, r9, r12, r64],
+        [0, dod + 63, dod + 255, dod + 2047, dod],
+    ).astype(np.int64).astype(np.uint64)  # two's complement for r64
+    payload_len = np.select([zero, r7, r9, r12, r64], [0, 7, 9, 12, 64]).astype(np.int64)
+    _ = a
+    return _pack_fields([(prefix_val, prefix_len), (payload_val, payload_len)])
+
+
+def encode_gorilla(vals: np.ndarray) -> bytes:
+    """vals: int64. XOR bitstream for points 1..n-1 (first carried out-of-band)."""
+    v = np.asarray(vals, dtype=np.int64).astype(np.uint64)
+    if len(v) < 2:
+        return b""
+    x = v[1:] ^ v[:-1]
+    nonzero = x != 0
+    # bit_length via log2 on floats is unsafe for 64-bit; use a bit trick:
+    # count leading zeros by comparing against powers of two cumulatively.
+    bl = np.zeros(len(x), dtype=np.int64)
+    xx = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        ge = xx >= (np.uint64(1) << np.uint64(shift))
+        bl[ge] += shift
+        xx[ge] >>= np.uint64(shift)
+    bl = bl + (xx > 0).astype(np.int64)  # = bit_length(x)
+    lead = np.minimum(64 - bl, 63)
+    meaningful = 64 - lead
+
+    ctrl = nonzero.astype(np.uint64)
+    ctrl_len = np.ones(len(x), dtype=np.int64)
+    lead_len = np.where(nonzero, 6, 0).astype(np.int64)
+    mlen_len = np.where(nonzero, 6, 0).astype(np.int64)
+    mbits_len = np.where(nonzero, meaningful, 0).astype(np.int64)
+    return _pack_fields(
+        [
+            (ctrl, ctrl_len),
+            (lead.astype(np.uint64), lead_len),
+            ((meaningful - 1).astype(np.uint64) & np.uint64(63), mlen_len),
+            (x, mbits_len),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode (validation path)
+# ---------------------------------------------------------------------------
+
+
+def decode_dod(data: bytes, first_ts: int, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first_ts
+    if n == 1:
+        return out
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).astype(np.int64)
+    pos = 0
+    prev_delta = 0
+    t = int(first_ts)
+
+    def take(k):
+        nonlocal pos
+        v = 0
+        for b in bits[pos : pos + k]:
+            v = (v << 1) | int(b)
+        pos += k
+        return v
+
+    for i in range(1, n):
+        if take(1) == 0:
+            dod = 0
+        elif take(1) == 0:
+            dod = take(7) - 63
+        elif take(1) == 0:
+            dod = take(9) - 255
+        elif take(1) == 0:
+            dod = take(12) - 2047
+        else:
+            raw = take(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        prev_delta += dod
+        t += prev_delta
+        out[i] = t
+    return out
+
+
+def decode_gorilla(data: bytes, first_val: int, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    prev = np.uint64(int(first_val) & 0xFFFFFFFFFFFFFFFF)
+    out[0] = prev
+    if n == 1:
+        return out.astype(np.int64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).astype(np.int64)
+    pos = 0
+
+    def take(k):
+        nonlocal pos
+        v = 0
+        for b in bits[pos : pos + k]:
+            v = (v << 1) | int(b)
+        pos += k
+        return v
+
+    for i in range(1, n):
+        if take(1) == 0:
+            out[i] = prev
+        else:
+            take(6)  # lead (implied)
+            meaningful = take(6) + 1
+            x = np.uint64(take(meaningful))
+            prev = prev ^ x
+            out[i] = prev
+    return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: chunk tables via applyInPandas
+# ---------------------------------------------------------------------------
+
+CHUNK_SCHEMA = (
+    "host string, tier string, chunk_start timestamp, ts_dod binary, "
+    "val_gorilla binary, bytes_gorilla binary, n_points int, first_ts long, "
+    "first_val long, first_bytes long"
+)
+
+
+def _encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    host, tier = key
+    pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+    sec = (pdf["bucket_ts"].astype("datetime64[us]").astype("int64") // 1_000_000).to_numpy()
+    dc = pdf["doc_count"].to_numpy().astype(np.int64)
+    bs = pdf["bytes_sum"].to_numpy().astype(np.int64)
+    return pd.DataFrame(
+        {
+            "host": [host],
+            "tier": [tier],
+            "chunk_start": [pd.Timestamp(int(sec[0]), unit="s")],
+            "ts_dod": [encode_dod(sec)],
+            "val_gorilla": [encode_gorilla(dc)],
+            "bytes_gorilla": [encode_gorilla(bs)],
+            "n_points": [len(sec)],
+            "first_ts": [int(sec[0])],
+            "first_val": [int(dc[0])],
+            "first_bytes": [int(bs[0])],
+        }
+    )
+
+
+def encode_chunks(host_series_df: DataFrame, tier: str) -> DataFrame:
+    """Host-level tier series → one compressed chunk per (host, tier)."""
+    from pyspark.sql import functions as F
+
+    return (
+        host_series_df.withColumn("tier", F.lit(tier))
+        .groupBy("host", "tier")
+        .applyInPandas(_encode_group, schema=CHUNK_SCHEMA)
+    )
+
+
+def decode_chunks_pdf(chunks: pd.DataFrame) -> pd.DataFrame:
+    """Round-trip: chunks (pandas) → host-level series rows (validation)."""
+    rows = []
+    for r in chunks.itertuples(index=False):
+        ts = decode_dod(r.ts_dod, r.first_ts, r.n_points)
+        dc = decode_gorilla(r.val_gorilla, r.first_val, r.n_points)
+        bs = decode_gorilla(r.bytes_gorilla, r.first_bytes, r.n_points)
+        for i in range(r.n_points):
+            rows.append((r.host, pd.Timestamp(int(ts[i]), unit="s"), int(dc[i]), int(bs[i])))
+    return pd.DataFrame(rows, columns=["host", "bucket_ts", "doc_count", "bytes_sum"])

@@ -1,0 +1,89 @@
+"""Gap-fill: per-host time spine + locf + linear interpolation.
+
+Semantics (pinned, shared with oracle/reference.py):
+- spine per (host, tier): every bucket from the host's first to last observed
+  bucket, generated with ``sequence()`` + ``explode`` (no driver loops);
+- locf  = last observed value at or before t
+          (``last(col, ignorenulls=True)`` over an unbounded-preceding window);
+- linear = for a missing bucket with anchors (t0,v0) ≤ t ≤ (t1,v1):
+          v0 + (v1 − v0)·(t − t0)/(t1 − t0), float64 over epoch seconds;
+- observed buckets: locf = linear = float64(actual), is_filled = false.
+
+Window-skew note (north rule): window functions cannot be salted without
+changing semantics, but the window input here is the *rolled-up* host series —
+bounded by the time range (≤ ~50k buckets/host/month at 1m), not by the raw
+doc count — so a hot host costs the same window work as a cold one. The
+raw-data skew was already absorbed by series.salted_agg. This is the explicit
+design answer to host-key skew in window aggregates (SURVEY.md §7.5 item 2).
+
+Reference analog: the as-of/top-1 semantics of nearest-address reverse geocode
+(/root/reference/libs/mimir/src/rubber.rs:513-547 — exp-decay then top-1) →
+locf is the degenerate "most recent anchor wins" as-of join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .series import TIER_SECONDS
+
+
+def spine(host_series_df: DataFrame, tier: str) -> DataFrame:
+    """Per-host dense bucket spine via sequence+explode (distributed; one row
+    per host going into the explode, so no skew concern)."""
+    step = TIER_SECONDS[tier]
+    bounds = host_series_df.groupBy("host").agg(
+        F.min("bucket_ts").alias("_min"), F.max("bucket_ts").alias("_max")
+    )
+    return bounds.select(
+        "host",
+        F.explode(
+            F.sequence(
+                F.col("_min").cast("long"),
+                F.col("_max").cast("long"),
+                F.lit(step),
+            )
+        ).alias("bucket_sec"),
+    ).select("host", F.timestamp_seconds("bucket_sec").alias("bucket_ts"))
+
+
+def gapfill(host_series_df: DataFrame, tier: str, metrics=("doc_count", "bytes_sum")) -> DataFrame:
+    """Long-format gap-filled series:
+    host, bucket_ts, metric, value_locf, value_linear, is_filled."""
+    sp = spine(host_series_df, tier)
+    joined = sp.join(host_series_df, ["host", "bucket_ts"], "left")
+
+    # long format: one row per (host, bucket, metric)
+    stacked = joined.select(
+        "host",
+        "bucket_ts",
+        F.expr(
+            "stack({n}, {args})".format(
+                n=len(metrics),
+                args=", ".join(f"'{m}', cast({m} as double)" for m in metrics),
+            )
+        ).alias("metric", "value"),
+    )
+
+    w = Window.partitionBy("host", "metric").orderBy("bucket_ts")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+
+    sec = F.col("bucket_ts").cast("double")
+    prev_val = F.last("value", ignorenulls=True).over(w_prev)
+    prev_ts = F.last(F.when(F.col("value").isNotNull(), sec), ignorenulls=True).over(w_prev)
+    next_val = F.first("value", ignorenulls=True).over(w_next)
+    next_ts = F.first(F.when(F.col("value").isNotNull(), sec), ignorenulls=True).over(w_next)
+
+    linear = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+        prev_val + (next_val - prev_val) * ((sec - prev_ts) / (next_ts - prev_ts))
+    )
+    return stacked.select(
+        "host",
+        "bucket_ts",
+        "metric",
+        F.coalesce("value", prev_val).alias("value_locf"),
+        linear.alias("value_linear"),
+        F.col("value").isNull().alias("is_filled"),
+    )

@@ -1,0 +1,80 @@
+"""Base 1-minute series with explicit skew handling.
+
+The north rule mandates "salted window aggregates over skew-repartitioned
+host keys": host popularity is Zipfian (a handful of hosts dominate), so a
+plain groupBy(host, ...) would hash all of a hot host's rows to one reducer.
+
+Two-stage salted aggregation:
+  stage 1 (partial): groupBy(host, bucket_ts, lang, salt) — the salt spreads a
+      hot (host, bucket) over ``n_salts`` reducers; Spark's map-side partial
+      aggregation further combines within each task before the shuffle.
+  stage 2 (final):   groupBy(host, bucket_ts, lang) over the tiny partial
+      result — sums of sums / counts of counts, all integer (exactness:
+      SURVEY.md §7.5 — integer measures are reduction-order-independent).
+
+At 100 TB: stage 1's shuffle carries ≤ n_salts × |distinct (host,bucket,lang)|
+rows regardless of input skew; stage 2's input is already small. AQE skew
+handling stays on as a backstop but is not relied upon.
+
+Reference analog: stop-point counts + weight normalization
+(/root/reference/src/bin/stops2mimir.rs:94-103, src/stops.rs:44-58).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ingest import dedup_pages, with_host
+
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400, "30d": 2_592_000}
+TIER_ORDER = ["1m", "1h", "1d", "30d"]
+
+
+def bucket_col(ts_col: str, tier: str):
+    """Floor a timestamp column to the tier bucket, anchored at the Unix
+    epoch, UTC (pinned semantics shared with oracle/reference.py)."""
+    step = TIER_SECONDS[tier]
+    sec = F.col(ts_col).cast("long")
+    return F.timestamp_seconds((sec - ((sec % step) + step) % step))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list,
+    salt_col=None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Generic two-stage salted aggregation for additive integer measures.
+
+    ``aggs`` is a list of (partial_expr_fn, final_expr_fn, name) where
+    partial_expr_fn() builds the stage-1 aggregate over raw columns and
+    final_expr_fn(name) the stage-2 re-aggregate over the partial column.
+    """
+    salt = salt_col if salt_col is not None else F.pmod(F.xxhash64(*keys, F.spark_partition_id()), F.lit(n_salts))
+    partial = df.groupBy(*keys, salt.alias("_salt")).agg(
+        *[p().alias(name) for p, _, name in aggs]
+    )
+    return partial.groupBy(*keys).agg(*[fin(name).alias(name) for _, fin, name in aggs])
+
+
+def series_1m(pages: DataFrame, n_salts: int = 16) -> DataFrame:
+    """pages → base tier (host, bucket_ts, lang) → doc_count, bytes_sum."""
+    p = with_host(dedup_pages(pages)).select(
+        "host",
+        bucket_col("warc_ts", "1m").alias("bucket_ts"),
+        "lang",
+        "page_size",
+        "url",  # consumed by the salt expression only
+    )
+    return salted_agg(
+        p,
+        keys=["host", "bucket_ts", "lang"],
+        aggs=[
+            (lambda: F.count(F.lit(1)), lambda c: F.sum(c), "doc_count"),
+            (lambda: F.sum("page_size"), lambda c: F.sum(c), "bytes_sum"),
+        ],
+        salt_col=F.pmod(F.xxhash64("url"), F.lit(n_salts)),
+        n_salts=n_salts,
+    )

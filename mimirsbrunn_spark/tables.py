@@ -1,0 +1,212 @@
+"""Snapshot table layer: atomic manifest commits, time travel, lineage,
+metrics — the checkpoint/resume backbone.
+
+Capability graft of the reference's zero-downtime publish protocol
+(/root/reference/libs/mimir/src/rubber.rs:553-602: build a dated index
+offline, atomically swap the alias, delete the old) re-expressed as an
+Iceberg-style table format:
+
+  table_dir/
+    data/<uuid>/part-*.parquet     immutable data file sets, one dir per commit
+    _snapshots/v{N}.json           manifest: file list, counts, parent, meta
+    _current                       pointer file → current snapshot id
+
+Commit protocol: write data files to a fresh uuid dir, write the manifest to
+a temp file, then ``os.replace`` both manifest and pointer (atomic on POSIX).
+Readers resolve ``_current`` once and only ever see a complete snapshot —
+snapshot isolation, same guarantee as the alias swap. ``replace`` commits
+drop old file sets from the manifest (retention/compaction path) without
+touching readers of older snapshots (time travel keeps them resolvable).
+
+On a real cluster this module is swapped for Iceberg
+(``df.writeTo(tbl).append()`` / ``CREATE OR REPLACE``); the sandbox ships no
+Iceberg jars, so the protocol is implemented directly — the engine API
+(commit/read/read_at/snapshots) matches what the Iceberg catalog would offer.
+
+Lineage + metrics tables (FIXTURES.md §2) are themselves snapshot tables:
+one lineage row per processed input partition (the resume key), metrics rows
+per job stage — the analogs of the reference's per-country import stats and
+bulk error budget (/root/reference/src/addr_reader.rs:33-65,
+libs/mimir/src/rubber.rs:736-744).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    files: list[str]
+    row_count: int
+    meta: dict
+    committed_at: float
+
+
+class SnapshotTable:
+    """A single table with atomic snapshot commits over parquet."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "_snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------------
+
+    def _manifest_path(self, sid: int) -> str:
+        return os.path.join(self.path, "_snapshots", f"v{sid}.json")
+
+    def current_snapshot_id(self) -> int | None:
+        ptr = os.path.join(self.path, "_current")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, sid: int) -> Snapshot:
+        with open(self._manifest_path(sid)) as f:
+            m = json.load(f)
+        return Snapshot(
+            snapshot_id=m["snapshot_id"],
+            parent_id=m["parent_id"],
+            files=m["files"],
+            row_count=m["row_count"],
+            meta=m.get("meta", {}),
+            committed_at=m["committed_at"],
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            s = self.snapshot(sid)
+            out.append(s)
+            sid = s.parent_id
+        return list(reversed(out))
+
+    # -- commit ---------------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "append", meta: dict | None = None) -> int:
+        """Write ``df`` as a new immutable file set and atomically publish a
+        new snapshot. mode='append' keeps prior files; 'replace' starts the
+        manifest fresh (old snapshots stay time-travelable)."""
+        assert mode in ("append", "replace")
+        set_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(set_dir)
+        new_files = [
+            os.path.join(set_dir, f)
+            for f in sorted(os.listdir(set_dir))
+            if f.endswith(".parquet")
+        ]
+        spark = df.sparkSession
+        new_rows = spark.read.parquet(set_dir).count() if new_files else 0
+
+        parent = self.current_snapshot_id()
+        if parent is not None and mode == "append":
+            prev = self.snapshot(parent)
+            files = prev.files + new_files
+            rows = prev.row_count + new_rows
+        else:
+            files, rows = new_files, new_rows
+        sid = (parent or 0) + 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "files": files,
+            "row_count": rows,
+            "meta": meta or {},
+            "committed_at": time.time(),
+        }
+        tmp = self._manifest_path(sid) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(sid))
+        ptr_tmp = os.path.join(self.path, f"_current.tmp.{uuid.uuid4().hex}")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(ptr_tmp, os.path.join(self.path, "_current"))
+        return sid
+
+    # -- read -----------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        sid = self.current_snapshot_id()
+        if sid is None:
+            raise FileNotFoundError(f"table {self.path} has no snapshot")
+        return self.read_at(spark, sid)
+
+    def read_at(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        files = self.snapshot(snapshot_id).files
+        return spark.read.parquet(*files)
+
+    def exists(self) -> bool:
+        return self.current_snapshot_id() is not None
+
+
+# ---------------------------------------------------------------------------
+# lineage + metrics
+# ---------------------------------------------------------------------------
+
+LINEAGE_SCHEMA = (
+    "partition_id string, input_snapshot long, output_snapshot long, "
+    "row_count long, checksum string, committed_at timestamp"
+)
+METRICS_SCHEMA = "job_id string, stage string, key string, value double, ts timestamp"
+
+
+class Lineage:
+    """Per-partition processing ledger: the resume key. A partition is
+    skipped iff a lineage row exists for its (partition_id)."""
+
+    def __init__(self, path: str):
+        self.table = SnapshotTable(path)
+
+    def committed_partitions(self, spark: SparkSession) -> set[str]:
+        if not self.table.exists():
+            return set()
+        return {
+            r.partition_id for r in self.table.read(spark).select("partition_id").collect()
+        }
+
+    def record(
+        self,
+        spark: SparkSession,
+        partition_id: str,
+        input_snapshot: int,
+        output_snapshot: int,
+        row_count: int,
+        checksum: str,
+    ) -> None:
+        import datetime as dt
+
+        row = [
+            (
+                partition_id,
+                input_snapshot,
+                output_snapshot,
+                row_count,
+                checksum,
+                dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            )
+        ]
+        self.table.commit(spark.createDataFrame(row, LINEAGE_SCHEMA), mode="append")
+
+
+class Metrics:
+    def __init__(self, path: str):
+        self.table = SnapshotTable(path)
+
+    def record(self, spark: SparkSession, job_id: str, stage: str, kv: dict[str, float]) -> None:
+        import datetime as dt
+
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        rows = [(job_id, stage, k, float(v), now) for k, v in kv.items()]
+        self.table.commit(spark.createDataFrame(rows, METRICS_SCHEMA), mode="append")
