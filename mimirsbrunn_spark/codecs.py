@@ -213,7 +213,7 @@ CHUNK_SCHEMA = (
 )
 
 
-def _encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _encode_group(key, pdf):
     host, tier = key
     pdf = pdf.sort_values("bucket_ts", kind="mergesort")
     sec = (pdf["bucket_ts"].astype("datetime64[us]").astype("int64") // 1_000_000).to_numpy()

@@ -1,0 +1,299 @@
+"""Driver-contract queries: paired (PySpark callable, DuckDB oracle SQL).
+
+Each entry here backs one key of ``__spark_entry__.queries()`` /
+``oracle_sql()``. The driver runs both at sf=0.01 and compares row count,
+schema and an order-insensitive value hash — so both sides must produce
+IDENTICAL values, including floats.
+
+Cross-engine determinism rules used throughout (SURVEY.md §7.5):
+- time buckets are BIGINT epoch seconds (``bucket_sec``), floored with
+  integer arithmetic — no timestamp objects cross the comparison boundary;
+- money/measure aggregates are integers (counts, byte sums, cents via
+  per-row round→cast before the SUM) — reduction-order-independent;
+- per-row float expressions (ratios, interpolation) are identical formulas
+  evaluated on identical operands — IEEE-deterministic; accumulated float
+  sums are never compared raw;
+- DuckDB SUM(BIGINT) returns HUGEINT → always cast back to BIGINT.
+
+The ``pages`` view used by the rollup queries is a deterministic derivation
+from the driver's ``events`` table (no external data, SQL-expressible in both
+engines): host = 'h' || user_id % 40, warc_ts = ts, lang by user_id % 6,
+page_size = byte length of props.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["en", "de", "fr", "es", "zh", "unknown"]
+
+# DuckDB prelude: the pages derivation as a CTE, reused by every rollup oracle.
+PAGES_CTE = """
+pages AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR)                        AS host,
+         CAST(floor(epoch(ts)) AS BIGINT)                            AS warc_sec,
+         ['en','de','fr','es','zh','unknown'][CAST(user_id % 6 AS INT) + 1] AS lang,
+         CAST(strlen(props) AS BIGINT)                               AS page_size,
+         event_id,
+         user_id
+  FROM events
+)
+"""
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of PAGES_CTE."""
+    ev = _table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    lang_arr = F.array(*[F.lit(l) for l in LANGS])
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias("host"),
+        F.unix_timestamp(ts).alias("warc_sec"),
+        F.element_at(lang_arr, ((F.col("user_id") % 6) + 1).cast("int")).alias("lang"),
+        F.octet_length("props").cast("long").alias("page_size"),
+        "event_id",
+        "user_id",
+    )
+
+
+def _bucket(col, step: int):
+    return (F.col(col) - (F.col(col) % step)).alias("bucket_sec")
+
+
+# ---------------------------------------------------------------------------
+# rollup tier queries (engine core, SURVEY.md §7 — series + cascade)
+# ---------------------------------------------------------------------------
+
+
+def _tier_query(step: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return (
+            pages_df(spark, sf_dir)
+            .groupBy("host", _bucket("warc_sec", step), "lang")
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.sum("page_size").alias("bytes_sum"),
+            )
+        )
+
+    return q
+
+
+def _tier_sql(step: int) -> str:
+    return f"""
+WITH {PAGES_CTE}
+SELECT host,
+       warc_sec - (warc_sec % {step}) AS bucket_sec,
+       lang,
+       CAST(COUNT(*) AS BIGINT)      AS doc_count,
+       CAST(SUM(page_size) AS BIGINT) AS bytes_sum
+FROM pages
+GROUP BY 1, 2, 3
+"""
+
+
+def q_avg_page_size_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived read-time metric: avg = bytes_sum/doc_count (single division
+    of exact integers → IEEE-deterministic)."""
+    t = _tier_query(86400)(spark, sf_dir)
+    return t.select(
+        "host",
+        "bucket_sec",
+        "lang",
+        (F.col("bytes_sum") / F.col("doc_count")).alias("avg_page_size"),
+    )
+
+
+SQL_AVG_PAGE_SIZE_1D = f"""
+WITH {PAGES_CTE},
+t AS (
+  SELECT host, warc_sec - (warc_sec % 86400) AS bucket_sec, lang,
+         CAST(COUNT(*) AS BIGINT) AS doc_count,
+         CAST(SUM(page_size) AS BIGINT) AS bytes_sum
+  FROM pages GROUP BY 1, 2, 3
+)
+SELECT host, bucket_sec, lang,
+       CAST(bytes_sum AS DOUBLE) / CAST(doc_count AS DOUBLE) AS avg_page_size
+FROM t
+"""
+
+
+def q_topk_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-style deterministic top-k page (orderBy desc + tiebreak + limit;
+    reference /root/reference/libs/bragi/src/query.rs:527-535)."""
+    return (
+        pages_df(spark, sf_dir)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("doc_count"), F.sum("page_size").alias("bytes_sum"))
+        .orderBy(F.desc("doc_count"), F.asc("host"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_HOSTS = f"""
+WITH {PAGES_CTE}
+SELECT host, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(page_size) AS BIGINT) AS bytes_sum
+FROM pages GROUP BY 1
+ORDER BY doc_count DESC, host ASC LIMIT 10
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup counts per host (A1/J7 family: distinct fetch identity)."""
+    p = pages_df(spark, sf_dir)
+    return p.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.concat_ws("|", F.col("user_id"), F.col("warc_sec"))).alias(
+            "n_unique_fetches"
+        ),
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {PAGES_CTE}
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR) || '|' || CAST(warc_sec AS VARCHAR)) AS BIGINT)
+         AS n_unique_fetches
+FROM pages GROUP BY 1
+"""
+
+
+def q_per_lang_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-count series (north-star series family)."""
+    return (
+        pages_df(spark, sf_dir)
+        .groupBy("lang", _bucket("warc_sec", 86400))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+SQL_PER_LANG_DAILY = f"""
+WITH {PAGES_CTE}
+SELECT lang, warc_sec - (warc_sec % 86400) AS bucket_sec,
+       CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM pages GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# gap-fill queries (engine core — locf + linear over the 1h host series)
+# ---------------------------------------------------------------------------
+
+
+def q_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 3600))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    bounds = hs.groupBy("host").agg(
+        F.min("bucket_sec").alias("_min"), F.max("bucket_sec").alias("_max")
+    )
+    sp = bounds.select(
+        "host", F.explode(F.sequence("_min", "_max", F.lit(3600))).alias("bucket_sec")
+    )
+    j = sp.join(hs, ["host", "bucket_sec"], "left").select(
+        "host", "bucket_sec", F.col("doc_count").cast("double").alias("value")
+    )
+    w = Window.partitionBy("host").orderBy("bucket_sec")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    sec = F.col("bucket_sec").cast("double")
+    prev_val = F.last("value", ignorenulls=True).over(w_prev)
+    prev_ts = F.last(F.when(F.col("value").isNotNull(), sec), ignorenulls=True).over(w_prev)
+    next_val = F.first("value", ignorenulls=True).over(w_next)
+    next_ts = F.first(F.when(F.col("value").isNotNull(), sec), ignorenulls=True).over(w_next)
+    linear = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+        prev_val + (next_val - prev_val) * ((sec - prev_ts) / (next_ts - prev_ts))
+    )
+    return j.select(
+        "host",
+        "bucket_sec",
+        F.coalesce("value", prev_val).alias("value_locf"),
+        linear.alias("value_linear"),
+        F.col("value").isNull().alias("is_filled"),
+    )
+
+
+SQL_GAPFILL_1H = f"""
+WITH {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 3600) AS bucket_sec,
+         CAST(COUNT(*) AS BIGINT) AS doc_count
+  FROM pages GROUP BY 1, 2
+),
+bounds AS (
+  SELECT host, MIN(bucket_sec) AS mn, MAX(bucket_sec) AS mx FROM hs GROUP BY 1
+),
+spine AS (
+  SELECT host, UNNEST(generate_series(mn, mx, 3600)) AS bucket_sec FROM bounds
+),
+j AS (
+  SELECT s.host, s.bucket_sec, CAST(h.doc_count AS DOUBLE) AS value
+  FROM spine s LEFT JOIN hs h ON s.host = h.host AND s.bucket_sec = h.bucket_sec
+),
+anno AS (
+  SELECT host, bucket_sec, value,
+    last_value(value IGNORE NULLS) OVER
+      (PARTITION BY host ORDER BY bucket_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+    last_value(CASE WHEN value IS NOT NULL THEN CAST(bucket_sec AS DOUBLE) END IGNORE NULLS) OVER
+      (PARTITION BY host ORDER BY bucket_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+    first_value(value IGNORE NULLS) OVER
+      (PARTITION BY host ORDER BY bucket_sec ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+    first_value(CASE WHEN value IS NOT NULL THEN CAST(bucket_sec AS DOUBLE) END IGNORE NULLS) OVER
+      (PARTITION BY host ORDER BY bucket_sec ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM j
+)
+SELECT host, bucket_sec,
+       COALESCE(value, prev_val) AS value_locf,
+       CASE WHEN value IS NOT NULL THEN value
+            ELSE prev_val + (next_val - prev_val) *
+                 ((CAST(bucket_sec AS DOUBLE) - prev_ts) / (next_ts - prev_ts))
+       END AS value_linear,
+       value IS NULL AS is_filled
+FROM anno
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def core_queries() -> dict:
+    qs = {
+        "series_1m": _tier_query(60),
+        "rollup_1h": _tier_query(3600),
+        "rollup_1d": _tier_query(86400),
+        "rollup_30d": _tier_query(2_592_000),
+        "avg_page_size_1d": q_avg_page_size_1d,
+        "topk_hosts": q_topk_hosts,
+        "dedup_exact": q_dedup_exact,
+        "per_lang_daily": q_per_lang_daily,
+        "gapfill_1h": q_gapfill_1h,
+    }
+    return qs
+
+
+def core_oracle_sql() -> dict:
+    return {
+        "series_1m": _tier_sql(60),
+        "rollup_1h": _tier_sql(3600),
+        "rollup_1d": _tier_sql(86400),
+        "rollup_30d": _tier_sql(2_592_000),
+        "avg_page_size_1d": SQL_AVG_PAGE_SIZE_1D,
+        "topk_hosts": SQL_TOPK_HOSTS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "per_lang_daily": SQL_PER_LANG_DAILY,
+        "gapfill_1h": SQL_GAPFILL_1H,
+    }

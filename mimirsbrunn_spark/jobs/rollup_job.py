@@ -1,0 +1,149 @@
+"""The end-to-end resumable rollup job.
+
+Lifecycle (graft of the reference's importer lifecycle,
+/root/reference/src/bin/osm2mimir.rs:41-163 — staged read → enrich →
+dedup/aggregate → atomic publish, one dataset at a time):
+
+  1. enumerate input partitions (days of warc_ts);
+  2. for each day NOT in the lineage table: build the 1m series for that day,
+     append-commit it to the series table, record a lineage row
+     (partition id, input fingerprint, output snapshot, row count, checksum);
+  3. rebuild the derived tiers (1h/1d/30d), gap-fill tables and compressed
+     chunk tables from the committed 1m series with replace-commits.
+
+Resume = rerun the job: step 2 skips days already in lineage (the analog of
+the reference's per-dataset alias republish — a crashed import rerun republishes
+only missing datasets, rubber.rs:553-602). Step 3 is idempotent by
+construction (replace-commit of a deterministic function of the series table).
+
+Why days: 1m buckets never span a day boundary, so per-day series appends are
+disjoint and the concatenation is exactly the global series. Derived tiers
+are rebuilt globally — they aggregate the (tiny) 1m series, not the raw
+pages, so recomputing them costs ~nothing compared to one day's scan. The
+expensive, failure-prone work (the pages scan) is what checkpointing protects.
+
+At 100 TB: the day loop is a loop over Iceberg partitions; each iteration
+scans only `warc_ts ∈ day` (partition pruning via the filter), and the series
+append shuffles only that day's (host, bucket, lang) groups. Days can also be
+dispatched as independent Spark jobs for further isolation.
+
+Run on a cluster:
+  spark-submit --py-files mimirsbrunn_spark.zip -m mimirsbrunn_spark.jobs.rollup_job \
+      --pages <path> --out <dir> [--job-id id]
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .. import codecs, gapfill, series, tiers
+from ..ingest import read_pages
+from ..tables import Lineage, Metrics, SnapshotTable
+
+
+class SimulatedFailure(RuntimeError):
+    """Raised by the fail_after test hook to emulate a mid-job crash."""
+
+
+def _checksum(df) -> str:
+    """Deterministic order-independent content checksum: XOR of per-row
+    xxhash64 over all columns (bit_xor is commutative + overflow-free,
+    unlike sum under ANSI mode)."""
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    row = df.select(F.expr(f"bit_xor(xxhash64({cols}))").alias("x")).collect()[0]
+    return format((row.x or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+
+
+def run_rollup_job(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    job_id: str = "rollup",
+    fail_after: int | None = None,
+) -> dict:
+    """Run (or resume) the rollup job. Returns a summary dict."""
+    lineage = Lineage(f"{out_dir}/lineage")
+    metrics = Metrics(f"{out_dir}/metrics")
+    series_tbl = SnapshotTable(f"{out_dir}/series_1m")
+
+    pages = read_pages(spark, pages_path)
+    days = [
+        r.d.isoformat()
+        for r in pages.select(F.to_date("warc_ts").alias("d")).distinct().orderBy("d").collect()
+    ]
+    done = lineage.committed_partitions(spark)
+    todo = [d for d in days if f"day={d}" not in done]
+
+    processed = 0
+    for day in todo:
+        t0 = time.time()
+        day_pages = pages.filter(F.to_date("warc_ts") == F.lit(day))
+        s = series.series_1m(day_pages)
+        sid = series_tbl.commit(s, mode="append", meta={"partition": f"day={day}"})
+        committed = series_tbl.read_at(spark, sid)
+        day_rows = s.count()
+        lineage.record(
+            spark,
+            partition_id=f"day={day}",
+            input_snapshot=0,
+            output_snapshot=sid,
+            row_count=day_rows,
+            checksum=_checksum(s),
+        )
+        metrics.record(
+            spark,
+            job_id,
+            stage=f"series_1m/day={day}",
+            kv={"rows": day_rows, "seconds": time.time() - t0},
+        )
+        processed += 1
+        del committed
+        if fail_after is not None and processed >= fail_after:
+            raise SimulatedFailure(f"injected failure after {processed} partitions")
+
+    # Derived artifacts: rebuilt from the committed series (idempotent).
+    t0 = time.time()
+    base = series_tbl.read(spark)
+    tier_dfs = tiers.cascade(base)
+    out_tables = {}
+    for tier in ("1h", "1d", "30d"):
+        tbl = SnapshotTable(f"{out_dir}/rollup_{tier}")
+        tbl.commit(tier_dfs[tier], mode="replace", meta={"tier": tier})
+        out_tables[f"rollup_{tier}"] = tbl
+        hs = tiers.host_series(tier_dfs[tier])
+        gf_tbl = SnapshotTable(f"{out_dir}/gapfill_{tier}")
+        gf_tbl.commit(gapfill.gapfill(hs, tier), mode="replace", meta={"tier": tier})
+        out_tables[f"gapfill_{tier}"] = gf_tbl
+        ch_tbl = SnapshotTable(f"{out_dir}/chunks_{tier}")
+        ch_tbl.commit(codecs.encode_chunks(hs, tier), mode="replace", meta={"tier": tier})
+        out_tables[f"chunks_{tier}"] = ch_tbl
+    metrics.record(spark, job_id, stage="derived", kv={"seconds": time.time() - t0})
+
+    return {
+        "days_total": len(days),
+        "days_processed": processed,
+        "days_skipped": len(days) - len(todo),
+        "series_rows": series_tbl.read(spark).count(),
+    }
+
+
+def main() -> None:  # pragma: no cover - thin CLI wrapper
+    import argparse
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--job-id", default="rollup")
+    args = ap.parse_args()
+    spark = get_spark(app_name=f"rollup_job[{args.job_id}]")
+    summary = run_rollup_job(spark, args.pages, args.out, args.job_id)
+    print(summary)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -23,6 +23,21 @@ def pages_path(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def small_pages_path(tmp_path_factory):
+    """Few-day fixture for job/resume tests (day loop dominates runtime)."""
+    p = tmp_path_factory.mktemp("pages_small") / "pages.parquet"
+    write_pages_parquet(str(p), n_rows=5_000, n_hosts=12, span_days=5)
+    return str(p)
+
+
+@pytest.fixture(scope="session")
+def small_pages_pdf(small_pages_path):
+    import pandas as pd
+
+    return pd.read_parquet(small_pages_path)
+
+
+@pytest.fixture(scope="session")
 def pages_pdf(pages_path):
     import pandas as pd
 

@@ -1,0 +1,87 @@
+"""Snapshot table semantics + mid-job kill/resume (the reference's index
+lifecycle tests re-expressed: /root/reference/tests/rubber_test.rs via
+tests/tests.rs:149-152 — zero-downtime swap, ghost cleanup, resumability)."""
+
+import pandas as pd
+import pytest
+
+from oracle import reference as oracle
+from mimirsbrunn_spark.jobs.rollup_job import SimulatedFailure, run_rollup_job
+from mimirsbrunn_spark.tables import Lineage, SnapshotTable
+
+
+def test_snapshot_append_replace_timetravel(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    df1 = spark.range(5).toDF("id")
+    df2 = spark.range(5, 8).toDF("id")
+    s1 = tbl.commit(df1, mode="replace")
+    s2 = tbl.commit(df2, mode="append")
+    assert tbl.read(spark).count() == 8
+    assert tbl.read_at(spark, s1).count() == 5
+    s3 = tbl.commit(df2, mode="replace")
+    assert tbl.read(spark).count() == 3
+    assert tbl.read_at(spark, s2).count() == 8
+    snaps = tbl.snapshots()
+    assert [s.snapshot_id for s in snaps] == [s1, s2, s3]
+    assert snaps[1].parent_id == s1
+
+
+def test_read_missing_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        SnapshotTable(str(tmp_path / "missing")).read(spark)
+
+
+def test_job_kill_and_resume_exact(spark, small_pages_path, small_pages_pdf, tmp_path):
+    pages_path, pages_pdf = small_pages_path, small_pages_pdf
+    out = str(tmp_path / "out")
+
+    # first run dies after 2 partitions
+    with pytest.raises(SimulatedFailure):
+        run_rollup_job(spark, pages_path, out, fail_after=2)
+    lin = Lineage(f"{out}/lineage")
+    assert len(lin.committed_partitions(spark)) == 2
+
+    # resume: processes only the remaining days
+    summary = run_rollup_job(spark, pages_path, out)
+    assert summary["days_skipped"] == 2
+    assert summary["days_processed"] == summary["days_total"] - 2
+
+    # a second resume is a no-op over partitions
+    summary2 = run_rollup_job(spark, pages_path, out)
+    assert summary2["days_processed"] == 0
+
+    # final series table == oracle, exactly
+    got = (
+        SnapshotTable(f"{out}/series_1m")
+        .read(spark)
+        .toPandas()
+        .sort_values(["host", "bucket_ts", "lang"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got["bucket_ts"] = got["bucket_ts"].astype("datetime64[us]")
+    want = oracle.series_1m(pages_pdf)
+    pd.testing.assert_frame_equal(
+        got[["host", "bucket_ts", "lang", "doc_count", "bytes_sum"]],
+        want,
+        check_dtype=False,
+    )
+
+    # derived tiers published and exact
+    got_1d = (
+        SnapshotTable(f"{out}/rollup_1d")
+        .read(spark)
+        .toPandas()
+        .sort_values(["host", "bucket_ts", "lang"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got_1d["bucket_ts"] = got_1d["bucket_ts"].astype("datetime64[us]")
+    want_1d = oracle.all_tiers(pages_pdf)["1d"]
+    pd.testing.assert_frame_equal(
+        got_1d[["host", "bucket_ts", "lang", "doc_count", "bytes_sum"]],
+        want_1d,
+        check_dtype=False,
+    )
+
+    # metrics recorded per stage
+    m = SnapshotTable(f"{out}/metrics").read(spark)
+    assert m.filter("stage like 'series_1m/day=%'").count() > 0
