@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line.
+
+Two workload groups:
+- gate queries (events-derived pages rollups + gap-fill) at the sf dir;
+- the flagship synthetic-pages rollup pipeline (dedup → salted 1m series →
+  tier cascade → gap-fill → chunk encode) on a cached deterministic pages
+  table (SPARK_GRAFT_BENCH_ROWS, default 1M rows) — reported as
+  rollup_mdocs_per_sec, the BASELINE.md throughput metric.
+
+Timings use a noop-format write (full execution, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _pages_cache(n_rows: int) -> str:
+    path = f"/tmp/mimir_bench_cache/pages_{n_rows}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from mimirsbrunn_spark.synth import write_pages_parquet
+
+        write_pages_parquet(path, n_rows=n_rows, n_hosts=200, span_days=35)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
+
+    from mimirsbrunn_spark import codecs, gapfill, gate, series, tiers
+    from mimirsbrunn_spark.session import get_spark
+
+    pages_path = _pages_cache(bench_rows)
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    timings: dict[str, float] = {}
+
+    # group 1: gate queries at the sf dir
+    for name, fn in gate.core_queries().items():
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # group 2: flagship pages pipeline at bench scale. Tiers are MATERIALIZED
+    # continuous aggregates (the production shape — rollup_job publishes each
+    # tier as a table); downstream stages read the materialized parent tier
+    # rather than recomputing the raw scan.
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bench_tiers_")
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+
+    t0 = time.time()
+    series.series_1m(pages).write.mode("overwrite").parquet(f"{work}/series_1m")
+    timings["pages_series_1m"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    base_m = spark.read.parquet(f"{work}/series_1m")
+    all_t = tiers.cascade(base_m)
+    all_t["1h"].write.mode("overwrite").parquet(f"{work}/rollup_1h")
+    _force(all_t["1d"])
+    _force(all_t["30d"])
+    timings["pages_cascade"] = round(time.time() - t0, 3)
+
+    hourly = spark.read.parquet(f"{work}/rollup_1h")
+    hs = tiers.host_series(hourly)
+    t0 = time.time()
+    _force(gapfill.gapfill(hs, "1h"))
+    timings["pages_gapfill_1h"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _force(codecs.encode_chunks(hs, "1h"))
+    timings["pages_chunks_1h"] = round(time.time() - t0, 3)
+
+    shutil.rmtree(work, ignore_errors=True)
+    pipeline_sec = timings["pages_series_1m"] + timings["pages_cascade"]
+    total = round(sum(timings.values()), 3)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "bench_rows": n_docs,
+                "rollup_mdocs_per_sec": round(n_docs / pipeline_sec / 1e6, 4),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

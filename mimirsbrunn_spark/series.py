@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ingest import dedup_pages, with_host
+from .ingest import with_host
 
 TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400, "30d": 2_592_000}
 TIER_ORDER = ["1m", "1h", "1d", "30d"]
@@ -60,13 +60,25 @@ def salted_agg(
 
 
 def series_1m(pages: DataFrame, n_salts: int = 16) -> DataFrame:
-    """pages → base tier (host, bucket_ts, lang) → doc_count, bytes_sum."""
-    p = with_host(dedup_pages(pages)).select(
-        "host",
-        bucket_col("warc_ts", "1m").alias("bucket_ts"),
-        "lang",
-        "page_size",
-        "url",  # consumed by the salt expression only
+    """pages → base tier (host, bucket_ts, lang) → doc_count, bytes_sum.
+
+    Column-pruning discipline: derive the (tiny) columns the series needs
+    FIRST, then dedup — the dedup shuffle carries ~40 bytes/row instead of
+    the full html payload (at 100 TB that is the difference between
+    shuffling 100 TB and shuffling ~0.1% of it). Payload-equality of
+    duplicates is guaranteed by ingest.check_duplicate_payloads."""
+    p = (
+        with_host(pages)
+        .select(
+            "url",
+            "warc_ts",
+            "host",
+            bucket_col("warc_ts", "1m").alias("bucket_ts"),
+            "lang",
+            "page_size",
+        )
+        .dropDuplicates(["url", "warc_ts"])
+        .drop("warc_ts")
     )
     return salted_agg(
         p,

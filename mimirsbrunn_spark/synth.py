@@ -129,8 +129,13 @@ def generate_pages(
     return df.iloc[perm].reset_index(drop=True)
 
 
-def write_pages_parquet(path: str, n_rows: int = 100_000, **kw) -> pd.DataFrame:
-    """Generate and write pages to a parquet file; returns the frame."""
+def write_pages_parquet(path: str, n_rows: int = 100_000, n_files: int | None = None, **kw) -> pd.DataFrame:
+    """Generate and write pages; returns the frame.
+
+    ``n_files`` > 1 writes a directory of part files so Spark gets full scan
+    parallelism (one 500 MB file yields only ~4 input splits under the
+    default 128 MB maxPartitionBytes — a real bench bottleneck). Default:
+    one file per ~50k rows, capped at 64, min 1."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -144,6 +149,18 @@ def write_pages_parquet(path: str, n_rows: int = 100_000, **kw) -> pd.DataFrame:
             pa.field("lang", pa.string()),
         ]
     )
-    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-    pq.write_table(table, path)
+    if n_files is None:
+        n_files = max(1, min(64, len(df) // 50_000))
+    if n_files <= 1:
+        table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+        pq.write_table(table, path)
+        return df
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    bounds = np.linspace(0, len(df), n_files + 1).astype(int)
+    for i in range(n_files):
+        part = df.iloc[bounds[i] : bounds[i + 1]]
+        table = pa.Table.from_pandas(part, schema=schema, preserve_index=False)
+        pq.write_table(table, os.path.join(path, f"part-{i:05d}.parquet"))
     return df
