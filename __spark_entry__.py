@@ -28,16 +28,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from mimirsbrunn_spark import gate
+    from mimirsbrunn_spark import gate, gate_ops, gate_rel
 
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     qs.update(gate.core_queries())
+    qs.update(gate_rel.rel_queries())
+    qs.update(gate_ops.ops_queries())
     return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    from mimirsbrunn_spark import gate
+    from mimirsbrunn_spark import gate, gate_ops, gate_rel
 
     sqls: dict[str, str] = {}
     sqls.update(gate.core_oracle_sql())
+    sqls.update(gate_rel.rel_oracle_sql())
+    sqls.update(gate_ops.ops_oracle_sql())
     return sqls

@@ -1,0 +1,479 @@
+"""Relational operator-inventory gate queries (SURVEY.md §2) over the
+driver's TPC-H-ish tables, each paired with DuckDB oracle SQL.
+
+Every query is the Spark-first re-expression of a reference operator
+(file:line cited per query). Cross-engine float discipline as in gate.py:
+money sums as per-row-rounded bigint cents; per-row float expressions only
+(IEEE-deterministic); trig results rounded to 6 decimals (libm ulp slack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A-family: aggregation pipeline (reference A3/A7 import stats,
+#     src/addr_reader.rs:33-65; pricing-summary style) ---------------------
+
+
+def q_agg_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+# --- A1: arg-min dedup (street dedup keep-min-id,
+#     /root/reference/src/osm_reader/street.rs:202-246) --------------------
+
+
+def q_argmin_dedup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+SQL_ARGMIN_DEDUP = """
+SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+# --- J5: top-1-per-key as-of join (reverse-geocode top-1,
+#     /root/reference/libs/mimir/src/rubber.rs:513-547) --------------------
+
+
+def q_top1_per_key(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+SQL_TOP1_PER_KEY = """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --- J2/J3: hierarchy denormalization via broadcast joins
+#     (parent-chain denorm, /root/reference/src/bin/cosmogony2mimir.rs:127-145;
+#      admin attach J1 — small dims are broadcast, never shuffled) ---------
+
+
+def q_hierarchy_denorm(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.concat(F.col("c_name"), F.lit(" ("), F.col("n_name"), F.lit(")")).alias("label"),
+        )
+    )
+
+
+SQL_HIERARCHY_DENORM = """
+SELECT c_custkey, n_name AS nation, r_name AS region,
+       c_name || ' (' || n_name || ')' AS label
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# --- F7-as-semi-join + anti-join (coverage filter / relation-member
+#     suppression, query.rs:98-113 and street.rs:154-175) ------------------
+
+
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+# --- J7: multi-dataset union-merge (stop merge across datasets,
+#     /root/reference/src/stops.rs:162-226) --------------------------------
+
+
+def q_union_merge(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.lit("customer").alias("kind"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    cents = F.round(F.col("acctbal") * 100, 0).cast("long")
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parties"),
+            F.count_distinct("kind").alias("n_kinds"),
+            F.sum(cents).alias("acctbal_cents"),
+        )
+    )
+
+
+SQL_UNION_MERGE = """
+WITH parties AS (
+  SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS kind, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+)
+SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_parties,
+       CAST(COUNT(DISTINCT kind) AS BIGINT) AS n_kinds,
+       CAST(SUM(CAST(ROUND(acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM parties GROUP BY 1
+"""
+
+
+# --- A4/G11: max-normalized weights (weight normalization into [0,1],
+#     /root/reference/src/utils.rs:58-72, src/stops.rs:44-58) --------------
+
+
+def q_weight_normalize(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    mx = F.max("c_acctbal").over(w)
+    return c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.when(mx > 0, F.least(F.col("c_acctbal") / mx, F.lit(1.0))).otherwise(F.lit(0.0)).alias("weight"),
+    )
+
+
+SQL_WEIGHT_NORMALIZE = """
+SELECT c_custkey, CAST(c_nationkey AS INT) AS nationkey,
+       CASE WHEN MAX(c_acctbal) OVER (PARTITION BY c_nationkey) > 0
+            THEN LEAST(c_acctbal / MAX(c_acctbal) OVER (PARTITION BY c_nationkey), 1.0)
+            ELSE 0.0 END AS weight
+FROM customer
+"""
+
+
+# --- §2.5 window: running aggregate over ordered partitions ---------------
+
+
+def q_window_running(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w).alias("running_cents"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+FROM orders
+"""
+
+
+# --- G7/G8: decay scoring (proximity decay + field_value_factor,
+#     /root/reference/libs/bragi/src/query.rs:117-172; rational decay is
+#     used instead of exp() for cross-engine bit-exactness) ----------------
+
+
+def q_decay_score(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    # anchor past the data's max orderdate so ages stay positive (ANSI mode
+    # raises on division by zero)
+    age = F.date_diff(F.lit("2002-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+    score = F.col("o_totalprice") / (F.lit(1.0) + age.cast("double"))
+    return (
+        o.select("o_orderkey", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+SQL_DECAY_SCORE = """
+SELECT o_orderkey,
+       o_totalprice / (1.0 + CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-12-31') AS DOUBLE)) AS score
+FROM orders
+ORDER BY score DESC, o_orderkey ASC LIMIT 50
+"""
+
+
+# --- G1/G3: haversine + envelope prefilter (admin_geofinder two-phase,
+#     /root/reference/src/admin_geofinder.rs:45-99; rubber.rs:171-186).
+#     Coordinates synthesized deterministically from keys with modular
+#     arithmetic (DuckDB has no xxhash64, so both sides derive identically).
+
+
+def q_haversine_knn_v2(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    lat = (F.pmod(F.col("c_custkey") * 37, F.lit(1800)) / 10.0 - 90.0)
+    lon = (F.pmod(F.col("c_custkey") * 91, F.lit(3600)) / 10.0 - 180.0)
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    qlat, qlon = 48.85, 2.35
+    boxed = pts.filter(
+        (F.col("lat") > qlat - 30) & (F.col("lat") < qlat + 30)
+        & (F.col("lon") > qlon - 30) & (F.col("lon") < qlon + 30)
+    )
+    rad = 3.141592653589793 / 180.0
+    dlat = (F.col("lat") - qlat) * rad
+    dlon = (F.col("lon") - qlon) * rad
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.lit(qlat * rad)) * F.cos(F.col("lat") * rad) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    dist = F.round(2 * 6371.0 * F.asin(F.sqrt(a)), 6)
+    return (
+        boxed.select("c_custkey", dist.alias("dist_km"))
+        .orderBy("dist_km", "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_HAVERSINE_KNN_V2 = """
+WITH pts AS (
+  SELECT c_custkey,
+         (((c_custkey * 37) % 1800) / 10.0 - 90.0) AS lat,
+         (((c_custkey * 91) % 3600) / 10.0 - 180.0) AS lon
+  FROM customer
+),
+boxed AS (
+  SELECT * FROM pts
+  WHERE lat > 48.85 - 30 AND lat < 48.85 + 30 AND lon > 2.35 - 30 AND lon < 2.35 + 30
+)
+SELECT c_custkey,
+       ROUND(2 * 6371.0 * ASIN(SQRT(
+         SIN((lat - 48.85) * (3.141592653589793 / 180.0) / 2) * SIN((lat - 48.85) * (3.141592653589793 / 180.0) / 2)
+         + COS(48.85 * (3.141592653589793 / 180.0)) * COS(lat * (3.141592653589793 / 180.0))
+           * SIN((lon - 2.35) * (3.141592653589793 / 180.0) / 2) * SIN((lon - 2.35) * (3.141592653589793 / 180.0) / 2)
+       )), 6) AS dist_km
+FROM boxed
+ORDER BY dist_km, c_custkey LIMIT 20
+"""
+
+
+# --- T-family string ops (labels/ids, /root/reference/src/labels.rs:7-19,
+#     objects.rs:979-988, bano2mimir.rs:139-159) ---------------------------
+
+
+def q_string_ops(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.col("p_name")).alias("name_norm"),
+        F.regexp_replace(F.lower(F.col("p_name")), r"[\s/.:;]+", "-").alias("slug"),
+        F.substring(F.col("p_brand"), 1, 5).alias("brand5"),
+        F.regexp_replace(F.col("p_brand"), r"^Brand#", "").alias("brand_code"),
+        F.concat_ws("|", F.col("p_type"), F.col("p_brand")).alias("full_label"),
+    )
+
+
+SQL_STRING_OPS = """
+SELECT p_partkey,
+       LOWER(p_name) AS name_norm,
+       regexp_replace(LOWER(p_name), '[\\s/.:;]+', '-', 'g') AS slug,
+       SUBSTRING(p_brand, 1, 5) AS brand5,
+       regexp_replace(p_brand, '^Brand#', '') AS brand_code,
+       p_type || '|' || p_brand AS full_label
+FROM part
+"""
+
+
+# --- P7: two-pass prefix→fuzzy fallback (query.rs:667-714) ----------------
+
+RARE_PREFIX = "zzzz-no-such-part"  # guaranteed-empty pass 1 → fallback fires
+FUZZY_TOKEN = "red"
+
+
+def q_two_pass_search(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    pass1 = p.filter(F.col("p_name").startswith(RARE_PREFIX))
+    if pass1.limit(1).count() > 0:  # driver-side control flow, like the reference
+        chosen = pass1
+    else:
+        chosen = p.filter(F.col("p_name").contains(FUZZY_TOKEN))
+    return chosen.select("p_partkey", "p_name").orderBy("p_partkey").limit(100)
+
+
+SQL_TWO_PASS_SEARCH = f"""
+WITH pass1 AS (
+  SELECT p_partkey, p_name FROM part WHERE p_name LIKE '{RARE_PREFIX}%'
+),
+pass2 AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_name LIKE '%{FUZZY_TOKEN}%'
+    AND NOT EXISTS (SELECT 1 FROM pass1)
+)
+SELECT * FROM (SELECT * FROM pass1 UNION ALL SELECT * FROM pass2)
+ORDER BY p_partkey LIMIT 100
+"""
+
+
+# --- F9/O1: filter + deterministic page (type filters + paging,
+#     query.rs:436-459, 527-535) -------------------------------------------
+
+
+def q_filter_page(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus").isin("O", "F"))
+        .filter(F.col("o_totalprice") > 100000)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .offset(10)
+        .limit(25)
+    )
+
+
+SQL_FILTER_PAGE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus IN ('O', 'F') AND o_totalprice > 100000
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25 OFFSET 10
+"""
+
+
+# --- A8-style: grouped collect + array ops (zips at max level,
+#     utils.rs:37-53; merge-collections stops.rs:151-160) ------------------
+
+
+def q_array_collect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_custkey",
+            F.array_join("priorities", ";").alias("priorities_joined"),
+            "n_orders",
+        )
+    )
+
+
+SQL_ARRAY_COLLECT = """
+SELECT o_custkey,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ';') AS priorities_joined,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def rel_queries() -> dict:
+    return {
+        "agg_pricing": q_agg_pricing,
+        "argmin_dedup": q_argmin_dedup,
+        "top1_per_key": q_top1_per_key,
+        "hierarchy_denorm": q_hierarchy_denorm,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "union_merge": q_union_merge,
+        "weight_normalize": q_weight_normalize,
+        "window_running": q_window_running,
+        "decay_score": q_decay_score,
+        "haversine_knn": q_haversine_knn_v2,
+        "string_ops": q_string_ops,
+        "two_pass_search": q_two_pass_search,
+        "filter_page": q_filter_page,
+        "array_collect": q_array_collect,
+    }
+
+
+def rel_oracle_sql() -> dict:
+    return {
+        "agg_pricing": SQL_AGG_PRICING,
+        "argmin_dedup": SQL_ARGMIN_DEDUP,
+        "top1_per_key": SQL_TOP1_PER_KEY,
+        "hierarchy_denorm": SQL_HIERARCHY_DENORM,
+        "semi_join": SQL_SEMI_JOIN,
+        "anti_join": SQL_ANTI_JOIN,
+        "union_merge": SQL_UNION_MERGE,
+        "weight_normalize": SQL_WEIGHT_NORMALIZE,
+        "window_running": SQL_WINDOW_RUNNING,
+        "decay_score": SQL_DECAY_SCORE,
+        "haversine_knn": SQL_HAVERSINE_KNN_V2,
+        "string_ops": SQL_STRING_OPS,
+        "two_pass_search": SQL_TWO_PASS_SEARCH,
+        "filter_page": SQL_FILTER_PAGE,
+        "array_collect": SQL_ARRAY_COLLECT,
+    }
