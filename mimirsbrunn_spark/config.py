@@ -1,0 +1,54 @@
+"""Layered job configuration: defaults < TOML file < explicit overrides.
+
+Graft of the reference's settings merge with identical precedence
+(/root/reference/src/settings/osm2mimir.rs:68-175: default file → custom
+file → CLI args), with the same philosophy: every tuning knob the engine
+uses is an explicit, inspectable config value — never a magic constant
+buried in an operator (cf. query weights in config/bragi-settings.toml).
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class EngineConfig:
+    # tiers
+    tiers: list[str] = field(default_factory=lambda: ["1m", "1h", "1d", "30d"])
+    # skew handling
+    n_salts: int = 16
+    # gap-fill
+    gapfill_metrics: list[str] = field(default_factory=lambda: ["doc_count", "bytes_sum"])
+    # retention (seconds per tier; None/absent = keep forever)
+    retention: dict = field(
+        default_factory=lambda: {"1m": 7 * 86400, "1h": 90 * 86400, "1d": 730 * 86400}
+    )
+    # codecs
+    chunk_tiers: list[str] = field(default_factory=lambda: ["1h", "1d"])
+    # dedup / similarity defaults
+    minhash_k: int = 32
+    minhash_bands: int = 16
+    shingle_n: int = 3
+    lsh_planes: int = 12
+    # io
+    shuffle_partitions: int | None = None
+    max_bucket: int = 64
+
+    @classmethod
+    def load(cls, toml_path: str | None = None, **overrides) -> "EngineConfig":
+        cfg = cls()
+        if toml_path:
+            with open(toml_path, "rb") as f:
+                data = tomllib.load(f).get("engine", {})
+            for f_ in fields(cls):
+                if f_.name in data:
+                    setattr(cfg, f_.name, data[f_.name])
+        for k, v in overrides.items():
+            if v is None:
+                continue
+            if not any(f_.name == k for f_ in fields(cls)):
+                raise KeyError(f"unknown config key: {k}")
+            setattr(cfg, k, v)
+        return cfg

@@ -1,0 +1,101 @@
+"""Retention + compaction: the "retention engine" third of the north star.
+
+Tier retention policy (TimescaleDB-style, per tier): raw/fine tiers keep a
+short window, coarse tiers keep long ones — e.g. 1m keeps 7 days, 1h keeps
+90, 1d keeps 730, 30d forever. Expiry = replace-commit of the tier filtered
+to the window (the Iceberg ``DELETE WHERE bucket_ts < cutoff`` / partition
+drop analog — old snapshots stay time-travelable until vacuumed).
+
+Vacuum = physically delete data file sets no longer referenced by the
+current snapshot or the last ``keep_snapshots`` ancestors — the analog of
+the reference's ghost-index cleanup after alias swap
+(/root/reference/libs/mimir/src/rubber.rs:566-602: delete indexes no longer
+behind the alias; tested in tests/rubber_test.rs).
+
+At 100 TB: expiry with a partitioned layout is metadata-only (drop whole
+day partitions); the rewrite path here is the sandbox equivalent and is
+still bounded by tier size (rolled-up rows), not raw size.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .tables import SnapshotTable
+
+DEFAULT_RETENTION = {
+    "1m": 7 * 86400,
+    "1h": 90 * 86400,
+    "1d": 730 * 86400,
+    "30d": None,  # keep forever
+}
+
+
+def expire_tier(
+    spark: SparkSession,
+    table: SnapshotTable,
+    tier: str,
+    now_epoch: int,
+    retention_seconds: dict | None = None,
+) -> int:
+    """Replace-commit the tier with rows inside the retention window.
+    Returns the number of expired rows. No-op (and no commit) if nothing
+    expires or the tier keeps forever."""
+    policy = (retention_seconds or DEFAULT_RETENTION).get(tier)
+    if policy is None:
+        return 0
+    cutoff = now_epoch - policy
+    df = table.read(spark)
+    expired = df.filter(F.col("bucket_ts").cast("long") < cutoff).count()
+    if expired == 0:
+        return 0
+    kept = df.filter(F.col("bucket_ts").cast("long") >= cutoff)
+    table.commit(kept, mode="replace", meta={"retention_cutoff": cutoff, "expired_rows": expired})
+    return expired
+
+
+def vacuum(table: SnapshotTable, keep_snapshots: int = 2) -> list[str]:
+    """Delete data-file sets unreferenced by the last ``keep_snapshots``
+    snapshots; drop older manifests. Returns removed file-set dirs."""
+    snaps = table.snapshots()
+    keep = snaps[-keep_snapshots:] if keep_snapshots > 0 else snaps[-1:]
+    referenced = {os.path.dirname(f) for s in keep for f in s.files}
+    data_root = os.path.join(table.path, "data")
+    removed = []
+    for d in sorted(os.listdir(data_root)):
+        full = os.path.join(data_root, d)
+        if full not in referenced:
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+    keep_ids = {s.snapshot_id for s in keep}
+    snap_dir = os.path.join(table.path, "_snapshots")
+    for f in os.listdir(snap_dir):
+        sid = int(f[1:].split(".")[0])
+        if sid not in keep_ids:
+            os.remove(os.path.join(snap_dir, f))
+    # earliest kept snapshot may reference a vacuumed parent — detach it
+    earliest = min(keep_ids)
+    s = table.snapshot(earliest)
+    if s.parent_id is not None and s.parent_id not in keep_ids:
+        import json
+
+        with open(table._manifest_path(earliest)) as fh:
+            m = json.load(fh)
+        m["parent_id"] = None
+        tmp = table._manifest_path(earliest) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, table._manifest_path(earliest))
+    return removed
+
+
+def compact(spark: SparkSession, table: SnapshotTable, target_files: int = 8) -> int:
+    """Rewrite the table into ``target_files`` files (small-file compaction
+    after many append commits — Iceberg rewrite_data_files analog).
+    Returns the new snapshot id."""
+    df = table.read(spark).repartition(target_files)
+    return table.commit(df, mode="replace", meta={"compaction": True})

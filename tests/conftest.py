@@ -25,8 +25,8 @@ def pages_path(tmp_path_factory):
 @pytest.fixture(scope="session")
 def small_pages_path(tmp_path_factory):
     """Few-day fixture for job/resume tests (day loop dominates runtime)."""
-    p = tmp_path_factory.mktemp("pages_small") / "pages.parquet"
-    write_pages_parquet(str(p), n_rows=5_000, n_hosts=12, span_days=5)
+    p = tmp_path_factory.mktemp("pages_small") / "pages_dir"
+    write_pages_parquet(str(p), n_rows=5_000, n_hosts=12, span_days=5, n_files=4)
     return str(p)
 
 
