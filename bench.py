@@ -27,13 +27,13 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _pages_cache(n_rows: int) -> str:
-    path = f"/tmp/mimir_bench_cache/pages_{n_rows}.parquet"
+def _pages_cache(spark, n_rows: int) -> str:
+    """Bench pages table, generated distributed (synth_spark) and cached."""
+    path = f"/tmp/mimir_bench_cache/pages_spark_{n_rows}"
     if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        from mimirsbrunn_spark.synth import write_pages_parquet
+        from mimirsbrunn_spark.synth_spark import write_bench_pages
 
-        write_pages_parquet(path, n_rows=n_rows, n_hosts=200, span_days=35)
+        write_bench_pages(spark, path, n_rows)
     return path
 
 
@@ -45,11 +45,10 @@ def main() -> None:
     from mimirsbrunn_spark import codecs, gapfill, gate, series, tiers
     from mimirsbrunn_spark.session import get_spark
 
-    pages_path = _pages_cache(bench_rows)
-
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
+    pages_path = _pages_cache(spark, bench_rows)
 
     timings: dict[str, float] = {}
 

@@ -67,6 +67,10 @@ def series_1m(pages: DataFrame, n_salts: int = 16) -> DataFrame:
     the full html payload (at 100 TB that is the difference between
     shuffling 100 TB and shuffling ~0.1% of it). Payload-equality of
     duplicates is guaranteed by ingest.check_duplicate_payloads."""
+    # Full-row dropDuplicates (no subset) compiles to a pure HashAggregate on
+    # the grouping keys; a subset dedup would compile to SortAggregate with
+    # first() buffers — two full sorts of the input. Equivalent semantics
+    # because duplicate fetches are exact copies (ingest.check_duplicate_payloads).
     p = (
         with_host(pages)
         .select(
@@ -77,7 +81,7 @@ def series_1m(pages: DataFrame, n_salts: int = 16) -> DataFrame:
             "lang",
             "page_size",
         )
-        .dropDuplicates(["url", "warc_ts"])
+        .dropDuplicates()
         .drop("warc_ts")
     )
     return salted_agg(

@@ -1,0 +1,56 @@
+"""Physical-plan assertions: the plan-shape properties the 100 TB design
+relies on must not regress (SURVEY.md 'optimize for scale' discipline).
+These inspect plans only — no job execution."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from mimirsbrunn_spark import gate_rel, series, tiers
+
+
+def plan_str(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_series_plan_hash_agg_only(pages_df):
+    """Dedup must compile to hash aggregation — a SortAggregate here means
+    the full input gets sorted twice (the dropDuplicates-subset regression)."""
+    p = plan_str(series.series_1m(pages_df))
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p
+
+
+def test_series_scan_prunes_columns(pages_df):
+    """The series scan must not read `text` (column pruning to the parquet
+    reader — at 100 TB `text` is ~half the table)."""
+    p = plan_str(series.series_1m(pages_df))
+    scan = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert scan and all("text" not in l for l in scan)
+
+
+def test_filter_pushdown_reaches_scan(pages_df):
+    p = plan_str(pages_df.filter(F.col("lang") == "en").select("url"))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
+
+
+def test_hierarchy_join_is_broadcast(spark):
+    df = gate_rel.q_hierarchy_denorm(spark, "/root/testdata/sf0.001")
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cascade_reuses_partitioning(pages_df):
+    """The 1h→1d cascade step must add at most one Exchange (the re-bucket
+    groupBy); no extra shuffles sneak in."""
+    base = series.series_1m(pages_df)
+    hourly = tiers.rollup(base, "1h")
+    daily_from_hourly = tiers.rollup(hourly, "1d")
+    n_h = plan_str(hourly, "simple").count("Exchange")
+    n_d = plan_str(daily_from_hourly, "simple").count("Exchange")
+    assert n_d == n_h + 1
