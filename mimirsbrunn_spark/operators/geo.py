@@ -1,0 +1,160 @@
+"""Geospatial operators: the reference's workhorse spatial join re-expressed
+for Spark (SURVEY.md J1/G2/G3/J5).
+
+The reference builds an in-process R-tree over admin polygons and probes
+every point through an envelope (AABB) prefilter then an exact containment
+test (/root/reference/src/admin_geofinder.rs:105-251, envelope fn :47-65,
+exact contains :96-99). The Spark-first equivalent:
+
+1. grid-cell bucketing: polygons are exploded to the cells their bbox
+   covers; points map to exactly one cell → **equi-join on cell id** (the
+   shuffle-friendly analog of the R-tree lookup);
+2. bbox prefilter inside the joined pair (cheap comparisons, G3);
+3. exact point-in-polygon verify via a vectorized ray-casting numpy kernel
+   in a pandas UDF (G2) — only on bbox-surviving pairs.
+
+Broadcast is used when the polygon side is small (the reference's case:
+admin sets fit in RAM); the cell join path is the 100 TB-side fallback.
+
+Reverse geocode (J5, rubber.rs:513-547): nearest-point join = cell
+neighborhood equi-join + haversine + row_number top-1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+POLY_SCHEMA = "poly_id long, xs array<double>, ys array<double>"
+
+
+def _cells_for_bbox(minx, miny, maxx, maxy, cell: float):
+    return [
+        (cx, cy)
+        for cx in range(int(np.floor(minx / cell)), int(np.floor(maxx / cell)) + 1)
+        for cy in range(int(np.floor(miny / cell)), int(np.floor(maxy / cell)) + 1)
+    ]
+
+
+def polygons_with_cells(polys: DataFrame, cell: float = 1.0) -> DataFrame:
+    """Explode polygons to covering grid cells + attach bbox columns.
+    Built-ins only: bbox from array min/max, cells via sequence×sequence."""
+    p = polys.select(
+        "*",
+        F.array_min("xs").alias("minx"),
+        F.array_max("xs").alias("maxx"),
+        F.array_min("ys").alias("miny"),
+        F.array_max("ys").alias("maxy"),
+    )
+    cxs = F.sequence(
+        F.floor(F.col("minx") / cell).cast("int"), F.floor(F.col("maxx") / cell).cast("int")
+    )
+    cys = F.sequence(
+        F.floor(F.col("miny") / cell).cast("int"), F.floor(F.col("maxy") / cell).cast("int")
+    )
+    return (
+        p.withColumn("cx", F.explode(cxs))
+        .withColumn("cy", F.explode(cys))
+        .withColumn("cell_id", F.concat_ws(":", "cx", "cy"))
+        .drop("cx", "cy")
+    )
+
+
+def points_with_cell(points: DataFrame, cell: float = 1.0, x="x", y="y") -> DataFrame:
+    return points.withColumn(
+        "cell_id",
+        F.concat_ws(
+            ":",
+            F.floor(F.col(x) / cell).cast("int"),
+            F.floor(F.col(y) / cell).cast("int"),
+        ),
+    )
+
+
+def _pip_batch(it):
+    """Ray-casting point-in-polygon, vectorized over the batch's points per
+    polygon row-group (numpy; no per-vertex Python)."""
+    for pdf in it:
+        out = np.zeros(len(pdf), dtype=bool)
+        for i, (px, py, xs, ys) in enumerate(
+            zip(pdf["x"], pdf["y"], pdf["xs"], pdf["ys"])
+        ):
+            xa = np.asarray(xs, dtype=np.float64)
+            ya = np.asarray(ys, dtype=np.float64)
+            xb = np.roll(xa, -1)
+            yb = np.roll(ya, -1)
+            crosses = ((ya > py) != (yb > py)) & (
+                px < (xb - xa) * (py - ya) / (yb - ya) + xa
+            )
+            out[i] = crosses.sum() % 2 == 1
+        yield pd.DataFrame(
+            {"point_id": pdf["point_id"], "poly_id": pdf["poly_id"], "inside": out}
+        )
+
+
+def spatial_join(
+    points: DataFrame,
+    polys: DataFrame,
+    cell: float = 1.0,
+    broadcast_polys: bool = True,
+) -> DataFrame:
+    """(point_id, poly_id) pairs where the point lies inside the polygon.
+    Cell equi-join → bbox prefilter → exact ray-cast verify."""
+    pc = points_with_cell(points.select("point_id", "x", "y"), cell)
+    gc = polygons_with_cells(polys, cell)
+    right = F.broadcast(gc) if broadcast_polys else gc
+    cand = pc.join(right, "cell_id").filter(
+        (F.col("x") >= F.col("minx"))
+        & (F.col("x") <= F.col("maxx"))
+        & (F.col("y") >= F.col("miny"))
+        & (F.col("y") <= F.col("maxy"))
+    )
+    verified = cand.select("point_id", "x", "y", "poly_id", "xs", "ys").mapInPandas(
+        _pip_batch, schema="point_id long, poly_id long, inside boolean"
+    )
+    return verified.filter("inside").drop("inside").dropDuplicates(["point_id", "poly_id"])
+
+
+def nearest_neighbor_join(
+    probes: DataFrame,
+    sites: DataFrame,
+    cell: float = 1.0,
+    max_radius_cells: int = 1,
+) -> DataFrame:
+    """Top-1 nearest site per probe within the cell neighborhood (J5):
+    neighborhood equi-join (cell ± radius) → euclidean distance →
+    row_number over (probe) ordered by (distance, site_id) → rank 1."""
+    r = max_radius_cells
+    neighbor_cells = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                (F.floor(F.col("x") / cell) + dx).cast("int"),
+                (F.floor(F.col("y") / cell) + dy).cast("int"),
+            )
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+        ]
+    )
+    p = probes.select("probe_id", "x", "y").withColumn("cell_id", F.explode(neighbor_cells))
+    s = points_with_cell(
+        sites.select(F.col("site_id"), F.col("x").alias("sx"), F.col("y").alias("sy")),
+        cell,
+        x="sx",
+        y="sy",
+    )
+    cand = p.join(s, "cell_id")
+    dist = F.sqrt(
+        (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+        + (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("site_id"))
+    return (
+        cand.select("probe_id", "site_id", dist.alias("dist"))
+        .dropDuplicates(["probe_id", "site_id"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

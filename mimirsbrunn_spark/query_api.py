@@ -1,0 +1,77 @@
+"""Read-side query API — the "bragi" analog (SURVEY.md §2.9/§3).
+
+The reference serves scored, filtered, paged reads over the published
+indexes; here the read surface is rollup queries over published tier tables:
+tier selection, time-range pruning, host/lang filters, on-demand gap-fill,
+derived metrics, deterministic paging. Every knob is an explicit parameter
+(the reference's explicitly-parameterized query-settings discipline,
+/root/reference/libs/bragi/src/query_settings.rs:1-83).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import gapfill as gf
+from .series import TIER_ORDER, TIER_SECONDS
+from .tables import SnapshotTable
+
+
+def pick_tier(t0: int, t1: int, max_points: int = 10_000) -> str:
+    """Coarsest-fitting tier selection: the finest tier whose point count
+    over [t0, t1) stays under ``max_points`` (continuous-aggregate read
+    routing — the engine analog of index-set selection S16,
+    /root/reference/libs/mimir/src/rubber.rs:254-300)."""
+    span = max(t1 - t0, 1)
+    for tier in TIER_ORDER:
+        if span // TIER_SECONDS[tier] <= max_points:
+            return tier
+    return TIER_ORDER[-1]
+
+
+def read_rollup(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str,
+    t0: int | None = None,
+    t1: int | None = None,
+    hosts: list[str] | None = None,
+    langs: list[str] | None = None,
+    fill: str | None = None,
+    limit: int | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """Query a published tier. Filters are plain predicates (partition/file
+    pruning at the scan); ``fill`` ∈ {None, 'locf', 'linear'} applies
+    on-demand gap-fill to the host-level series."""
+    tbl = SnapshotTable(f"{out_dir}/rollup_{tier}" if tier != "1m" else f"{out_dir}/series_1m")
+    df = tbl.read(spark)
+    if t0 is not None:
+        df = df.filter(F.col("bucket_ts").cast("long") >= t0)
+    if t1 is not None:
+        df = df.filter(F.col("bucket_ts").cast("long") < t1)
+    if hosts:
+        df = df.filter(F.col("host").isin(hosts))
+    if langs:
+        df = df.filter(F.col("lang").isin(langs))
+
+    if fill is None:
+        out = df.withColumn("avg_page_size", F.col("bytes_sum") / F.col("doc_count"))
+        order = ["host", "bucket_ts", "lang"]
+    else:
+        assert fill in ("locf", "linear")
+        hs = df.groupBy("host", "bucket_ts").agg(
+            F.sum("doc_count").alias("doc_count"), F.sum("bytes_sum").alias("bytes_sum")
+        )
+        filled = gf.gapfill(hs, tier)
+        value = F.col("value_locf") if fill == "locf" else F.col("value_linear")
+        out = filled.select("host", "bucket_ts", "metric", value.alias("value"), "is_filled")
+        order = ["host", "metric", "bucket_ts"]
+
+    out = out.orderBy(*order)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
