@@ -456,6 +456,7 @@ def rel_queries() -> dict:
         "two_pass_search": q_two_pass_search,
         "filter_page": q_filter_page,
         "array_collect": q_array_collect,
+        "natural_sort": q_natural_sort_v2,
     }
 
 
@@ -476,4 +477,29 @@ def rel_oracle_sql() -> dict:
         "two_pass_search": SQL_TWO_PASS_SEARCH,
         "filter_page": SQL_FILTER_PAGE,
         "array_collect": SQL_ARRAY_COLLECT,
+        "natural_sort": SQL_NATURAL_SORT,
     }
+
+# --- O3: natural ("human") sort — "line 3" < "line 11"
+#     (/root/reference/src/bin/ntfs2mimir.rs:78-92; sortkey = digit runs
+#     zero-padded so lexicographic == natural; oracle orders numerically) ---
+
+
+def q_natural_sort_v2(spark, sf_dir):
+    from .functions.strings import natural_sortkey_expr
+
+    o = _t(spark, sf_dir, "orders")
+    labeled = o.select(
+        "o_orderkey",
+        F.concat(F.lit("line "), (F.col("o_orderkey") % 25).cast("string")).alias("label"),
+    )
+    w = Window.orderBy(natural_sortkey_expr("label"), F.asc("o_orderkey"))
+    return labeled.withColumn("rank", F.row_number().over(w)).orderBy("rank").limit(200)
+
+
+SQL_NATURAL_SORT = """
+SELECT o_orderkey, 'line ' || CAST(o_orderkey % 25 AS VARCHAR) AS label,
+       CAST(row_number() OVER (ORDER BY o_orderkey % 25, o_orderkey) AS BIGINT) AS rank
+FROM orders
+ORDER BY rank LIMIT 200
+"""

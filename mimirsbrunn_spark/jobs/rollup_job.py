@@ -39,7 +39,8 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .. import codecs, gapfill, series, tiers
+from .. import codecs, gapfill, retention, series, tiers
+from ..config import EngineConfig
 from ..ingest import read_pages
 from ..tables import Lineage, Metrics, SnapshotTable
 
@@ -63,8 +64,16 @@ def run_rollup_job(
     out_dir: str,
     job_id: str = "rollup",
     fail_after: int | None = None,
+    config: EngineConfig | None = None,
+    retention_now_epoch: int | None = None,
 ) -> dict:
-    """Run (or resume) the rollup job. Returns a summary dict."""
+    """Run (or resume) the rollup job. Returns a summary dict.
+
+    ``config`` carries every tuning knob (EngineConfig — layered TOML/CLI,
+    the reference's settings-merge discipline). ``retention_now_epoch``
+    enables the retention stage with that clock (kept explicit/deterministic
+    rather than wall-clock so tests and backfills are reproducible)."""
+    cfg = config or EngineConfig()
     lineage = Lineage(f"{out_dir}/lineage")
     metrics = Metrics(f"{out_dir}/metrics")
     series_tbl = SnapshotTable(f"{out_dir}/series_1m")
@@ -81,7 +90,7 @@ def run_rollup_job(
     for day in todo:
         t0 = time.time()
         day_pages = pages.filter(F.to_date("warc_ts") == F.lit(day))
-        s = series.series_1m(day_pages)
+        s = series.series_1m(day_pages, n_salts=cfg.n_salts)
         sid = series_tbl.commit(s, mode="append", meta={"partition": f"day={day}"})
         committed = series_tbl.read_at(spark, sid)
         day_rows = s.count()
@@ -121,6 +130,21 @@ def run_rollup_job(
         ch_tbl.commit(codecs.encode_chunks(hs, tier), mode="replace", meta={"tier": tier})
         out_tables[f"chunks_{tier}"] = ch_tbl
     metrics.record(spark, job_id, stage="derived", kv={"seconds": time.time() - t0})
+
+    # retention stage (explicit clock; no-op when not requested)
+    if retention_now_epoch is not None:
+        expired = {}
+        for tier in ("1h", "1d", "30d"):
+            expired[tier] = retention.expire_tier(
+                spark,
+                out_tables[f"rollup_{tier}"],
+                tier,
+                retention_now_epoch,
+                retention_seconds=cfg.retention,
+            )
+        metrics.record(
+            spark, job_id, stage="retention", kv={f"expired_{k}": v for k, v in expired.items()}
+        )
 
     return {
         "days_total": len(days),

@@ -1,0 +1,79 @@
+"""functions/strings.py — analyzer/label family unit tests (the reference's
+in-module label/id tests, /root/reference/src/labels.rs:189-365,
+objects.rs:990-1000, re-expressed)."""
+
+from pyspark.sql import functions as F
+
+from mimirsbrunn_spark.functions import strings as S
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_fold_and_normalize(spark):
+    df = spark.createDataFrame([("Hôtel-de-Ville ÉLYSÉE œuvre",)], "s string")
+    got = df.select(S.normalize_word(F.col("s")).alias("v")).collect()[0].v
+    assert got == "hotel-de-ville elysee ouvre"
+    uni = df.select(S.fold_unicode_udf()(F.col("s")).alias("v")).collect()[0].v
+    assert uni == "Hotel-de-Ville ELYSEE œuvre"  # NFKD strips combining marks
+
+
+def test_elision_and_synonyms(spark):
+    df = spark.createDataFrame([(["l'hotel", "bd", "d'or", "rue"],)], "t array<string>")
+    stripped = df.select(F.transform("t", lambda x: S.strip_elision(x)).alias("v")).collect()[0].v
+    assert stripped == ["hotel", "bd", "or", "rue"]
+    syn = df.select(S.expand_synonyms(F.col("t")).alias("v")).collect()[0].v
+    assert syn == ["l'hotel", "boulevard", "d'or", "rue"]
+
+
+def test_ngrams(spark):
+    df = spark.createDataFrame([("paris",)], "s string")
+    edge = df.select(S.edge_ngrams_expr("s", 1, 3).alias("v")).collect()[0].v
+    assert edge == ["p", "pa", "par"]
+    ng = df.select(S.ngrams_expr("s", 3).alias("v")).collect()[0].v
+    assert ng == ["par", "ari", "ris"]
+
+
+def test_i18n_label_fallback(spark):
+    df = spark.createDataFrame(
+        [({"fr": "Paris", "de": "Paris (DE)"}, "de", "Paris-default"),
+         ({"fr": "Paris"}, "zh", "Paris-default")],
+        "labels map<string,string>, lang string, dflt string",
+    )
+    got = [r.v for r in df.select(S.i18n_label(F.col("labels"), F.col("lang"), F.col("dflt")).alias("v")).collect()]
+    assert got == ["Paris (DE)", "Paris-default"]
+
+
+def test_label_format_and_ids(spark):
+    df = spark.createDataFrame([("Rue du Four", "Livry", "07512", " 3 b/4.5 ", 2.351234567, 48.85)],
+                               "name string, city string, insee string, hn string, lon double, lat double")
+    r = df.select(
+        S.format_label(F.col("name"), F.col("city")).alias("label"),
+        S.format_label(F.col("name"), F.lit(None).cast("string")).alias("label_nocity"),
+        S.insee_prefix(F.col("insee")).alias("insee"),
+        S.sanitize_id(F.col("hn")).alias("hn"),
+        S.coord_id(F.col("lon"), F.col("lat")).alias("cid"),
+        S.snake_case(F.lit("SuburbMunicipality")).alias("snake"),
+    ).collect()[0]
+    assert r.label == "Rue du Four (Livry)"
+    assert r.label_nocity == "Rue du Four"
+    assert r.insee == "7512"
+    assert r.hn == "3b-4-5"
+    assert r.cid == "2.351235;48.850000"
+    assert r.snake == "suburb_municipality"
+
+
+def test_zip_split_join(spark):
+    df = spark.createDataFrame([("75001;75002;75003",)], "z string")
+    r = df.select(S.join_zips(S.split_zips(F.col("z"))).alias("v")).collect()[0].v
+    assert r == "75001;75002;75003"
+
+
+def test_natural_sortkey(spark):
+    df = spark.createDataFrame([("line 3",), ("line 11",), ("Line 2",)], "s string")
+    got = [
+        r.s
+        for r in df.orderBy(S.natural_sortkey_expr("s")).collect()
+    ]
+    assert got == ["Line 2", "line 3", "line 11"]
