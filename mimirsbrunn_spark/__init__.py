@@ -22,3 +22,38 @@ re-expressed Spark-first:
 """
 
 __version__ = "0.1.0"
+
+
+def ensure_worker_imports(spark) -> None:
+    """Make this package importable inside Python workers of an arbitrary,
+    already-running SparkSession (e.g. the driver harness's own session, which
+    predates any PYTHONPATH we could set): zip the package and addPyFile it.
+    Idempotent per session; the zip name carries the newest source mtime so a
+    stale zip is never reused. On a real cluster this is what
+    ``spark-submit --py-files`` does at submit time."""
+    if getattr(spark, "_mimir_pyfiles_added", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    newest = 0
+    entries = []
+    for root, _, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                entries.append(full)
+                newest = max(newest, int(os.path.getmtime(full)))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"mimirsbrunn_spark_pyfiles_{newest}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in entries:
+                z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._mimir_pyfiles_added = True

@@ -43,6 +43,9 @@ pages AS (
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from . import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -15,6 +15,9 @@ from .operators import dedup, similarity, text
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from . import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
