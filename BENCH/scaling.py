@@ -34,7 +34,8 @@ from mimirsbrunn_spark import series, tiers
 
 cpus = {cpus}
 spark = get_spark(app_name=f"scaling[{cpus}]", master=f"local[{cpus}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=cpus,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "16m"}})
 pages = spark.read.parquet({pages!r})
 n = pages.count()
 

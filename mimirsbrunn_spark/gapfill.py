@@ -36,6 +36,10 @@ def spine(host_series_df: DataFrame, tier: str) -> DataFrame:
     bounds = host_series_df.groupBy("host").agg(
         F.min("bucket_ts").alias("_min"), F.max("bucket_ts").alias("_max")
     )
+    # bounds is one tiny row per host — without a repartition the whole
+    # explode (up to ~50k buckets/host/month at 1m) would run in 1-2 tasks;
+    # spreading hosts first makes spine generation parallel.
+    bounds = bounds.repartition(F.col("host"))
     return bounds.select(
         "host",
         F.explode(

@@ -143,3 +143,79 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cosine_col(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _centroid_dists(vec_col, centroids: np.ndarray):
+    """Array of squared L2 distances to each centroid (JVM expressions)."""
+    dists = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(vec_col, carr, lambda a, b: a.cast("double") - b)
+        dists.append(F.aggregate(F.transform(diff, lambda d: d * d), F.lit(0.0), lambda acc, x: acc + x))
+    return F.array(*dists)
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer: seed centroids are the k
+    lowest-id vectors' values; fixed iteration count; centroid update is a
+    per-dimension mean via posexplode + groupBy (distributed). Returns the
+    (k, dim) centroid matrix (small — driver-held, broadcast as literals)."""
+    seed_rows = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+    for _ in range(iters):
+        d = embeddings.select(
+            F.col(vec_col).alias("v"),
+            F.array_position(
+                (dists := _centroid_dists(F.col(vec_col), centroids)), F.array_min(dists)
+            ).alias("cluster"),
+        )
+        agg = (
+            d.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in agg:
+            new[int(r.cluster) - 1][int(r.pos)] = r.m
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest coarse cells, exact cosine inside. At scale
+    the cluster assignment is precomputed + the table is bucketed by it, so
+    a probe scans only matching buckets (partition pruning)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")
+    probes = [int(i) + 1 for i in order[:nprobe]]  # 1-based (array_position)
+    dists = _centroid_dists(F.col(vec_col), centroids)
+    assigned = embeddings.withColumn(
+        "_cluster", F.array_position(dists, F.array_min(dists))
+    )
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assigned.filter(F.col("_cluster").isin(probes))
+        .select(F.col(id_col).alias("id"), cosine_col(F.col(vec_col), qcol))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

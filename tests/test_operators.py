@@ -144,3 +144,15 @@ def test_multimodal_plumbing(spark):
     # real decoder path is explicitly stubbed
     with pytest.raises(Exception):
         multimodal.image_features(media, fake=False).collect()
+
+
+def test_ivf_topk(emb):
+    df, base = emb
+    cents = similarity.ivf_train(df, k=4, iters=3)
+    assert cents.shape == (4, 16)
+    got = [r.id for r in similarity.ivf_topk(df, list(base[3]), cents, k=5, nprobe=2).collect()]
+    assert 3 in got and 7 in got  # query + planted near-dup recovered
+    # full-probe IVF == brute force exactly
+    full = [r.id for r in similarity.ivf_topk(df, list(base[0]), cents, k=5, nprobe=4).collect()]
+    brute = [r.id for r in similarity.brute_force_topk(df, list(base[0]), k=5).collect()]
+    assert full == brute

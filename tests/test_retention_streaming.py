@@ -123,3 +123,22 @@ def test_streaming_equals_batch(spark, small_pages_path, small_pages_pdf, tmp_pa
         want,
         check_dtype=False,
     )
+
+
+def test_job_retention_stage(spark, small_pages_path, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.config import EngineConfig
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    out = str(tmp_path / "out_ret")
+    cfg = EngineConfig.load(retention={"1h": 2 * 86400})  # keep 2 days of 1h
+    pages = spark.read.parquet(small_pages_path)
+    max_ts = pages.agg(F.max(F.col("warc_ts").cast("long"))).collect()[0][0]
+    run_rollup_job(spark, small_pages_path, out, config=cfg, retention_now_epoch=max_ts)
+
+    t = SnapshotTable(f"{out}/rollup_1h").read(spark)
+    assert t.filter(F.col("bucket_ts").cast("long") < max_ts - 2 * 86400).count() == 0
+    assert t.count() > 0
+    m = SnapshotTable(f"{out}/metrics").read(spark)
+    assert m.filter("stage = 'retention'").count() > 0
