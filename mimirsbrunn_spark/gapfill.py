@@ -29,19 +29,20 @@ from pyspark.sql import functions as F
 from .series import TIER_SECONDS
 
 
-def spine(host_series_df: DataFrame, tier: str) -> DataFrame:
-    """Per-host dense bucket spine via sequence+explode (distributed; one row
-    per host going into the explode, so no skew concern)."""
+def spine(series_df: DataFrame, tier: str, by: tuple[str, ...] = ("host",)) -> DataFrame:
+    """Per-group dense bucket spine via sequence+explode. ``by`` is the
+    series key — ("host",) for host-level series, ("host", "lang") for
+    per-language series (the north star's per-language doc-count family)."""
     step = TIER_SECONDS[tier]
-    bounds = host_series_df.groupBy("host").agg(
+    bounds = series_df.groupBy(*by).agg(
         F.min("bucket_ts").alias("_min"), F.max("bucket_ts").alias("_max")
     )
-    # bounds is one tiny row per host — without a repartition the whole
-    # explode (up to ~50k buckets/host/month at 1m) would run in 1-2 tasks;
-    # spreading hosts first makes spine generation parallel.
-    bounds = bounds.repartition(F.col("host"))
+    # bounds is one tiny row per group — without a repartition the whole
+    # explode (up to ~50k buckets/group/month at 1m) would run in 1-2 tasks;
+    # spreading groups first makes spine generation parallel.
+    bounds = bounds.repartition(*[F.col(c) for c in by])
     return bounds.select(
-        "host",
+        *by,
         F.explode(
             F.sequence(
                 F.col("_min").cast("long"),
@@ -49,18 +50,23 @@ def spine(host_series_df: DataFrame, tier: str) -> DataFrame:
                 F.lit(step),
             )
         ).alias("bucket_sec"),
-    ).select("host", F.timestamp_seconds("bucket_sec").alias("bucket_ts"))
+    ).select(*by, F.timestamp_seconds("bucket_sec").alias("bucket_ts"))
 
 
-def gapfill(host_series_df: DataFrame, tier: str, metrics=("doc_count", "bytes_sum")) -> DataFrame:
+def gapfill(
+    series_df: DataFrame,
+    tier: str,
+    metrics=("doc_count", "bytes_sum"),
+    by: tuple[str, ...] = ("host",),
+) -> DataFrame:
     """Long-format gap-filled series:
-    host, bucket_ts, metric, value_locf, value_linear, is_filled."""
-    sp = spine(host_series_df, tier)
-    joined = sp.join(host_series_df, ["host", "bucket_ts"], "left")
+    *by, bucket_ts, metric, value_locf, value_linear, is_filled."""
+    sp = spine(series_df, tier, by)
+    joined = sp.join(series_df, [*by, "bucket_ts"], "left")
 
-    # long format: one row per (host, bucket, metric)
+    # long format: one row per (group, bucket, metric)
     stacked = joined.select(
-        "host",
+        *by,
         "bucket_ts",
         F.expr(
             "stack({n}, {args})".format(
@@ -70,7 +76,7 @@ def gapfill(host_series_df: DataFrame, tier: str, metrics=("doc_count", "bytes_s
         ).alias("metric", "value"),
     )
 
-    w = Window.partitionBy("host", "metric").orderBy("bucket_ts")
+    w = Window.partitionBy(*by, "metric").orderBy("bucket_ts")
     w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
     w_next = w.rowsBetween(0, Window.unboundedFollowing)
 
@@ -84,7 +90,7 @@ def gapfill(host_series_df: DataFrame, tier: str, metrics=("doc_count", "bytes_s
         prev_val + (next_val - prev_val) * ((sec - prev_ts) / (next_ts - prev_ts))
     )
     return stacked.select(
-        "host",
+        *by,
         "bucket_ts",
         "metric",
         F.coalesce("value", prev_val).alias("value_locf"),

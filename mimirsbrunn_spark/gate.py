@@ -284,6 +284,7 @@ def core_queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "per_lang_daily": q_per_lang_daily,
         "gapfill_1h": q_gapfill_1h,
+        "gapfill_lang_1d": q_gapfill_lang_1d,
     }
     return qs
 
@@ -299,4 +300,62 @@ def core_oracle_sql() -> dict:
         "dedup_exact": SQL_DEDUP_EXACT,
         "per_lang_daily": SQL_PER_LANG_DAILY,
         "gapfill_1h": SQL_GAPFILL_1H,
+        "gapfill_lang_1d": SQL_GAPFILL_LANG_1D,
     }
+
+def q_gapfill_lang_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language gap-filled daily series (north-star per-language family)."""
+    from pyspark.sql import Window
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", "lang", _bucket("warc_sec", 86400))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    bounds = hs.groupBy("host", "lang").agg(
+        F.min("bucket_sec").alias("_min"), F.max("bucket_sec").alias("_max")
+    )
+    sp = bounds.select(
+        "host", "lang", F.explode(F.sequence("_min", "_max", F.lit(86400))).alias("bucket_sec")
+    )
+    j = sp.join(hs, ["host", "lang", "bucket_sec"], "left").select(
+        "host", "lang", "bucket_sec", F.col("doc_count").cast("double").alias("value")
+    )
+    w = Window.partitionBy("host", "lang").orderBy("bucket_sec")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_val = F.last("value", ignorenulls=True).over(w_prev)
+    return j.select(
+        "host",
+        "lang",
+        "bucket_sec",
+        F.coalesce("value", prev_val).alias("value_locf"),
+        F.col("value").isNull().alias("is_filled"),
+    )
+
+
+SQL_GAPFILL_LANG_1D = f"""
+WITH {PAGES_CTE},
+hs AS (
+  SELECT host, lang, warc_sec - (warc_sec % 86400) AS bucket_sec,
+         CAST(COUNT(*) AS BIGINT) AS doc_count
+  FROM pages GROUP BY 1, 2, 3
+),
+bounds AS (
+  SELECT host, lang, MIN(bucket_sec) AS mn, MAX(bucket_sec) AS mx FROM hs GROUP BY 1, 2
+),
+spine AS (
+  SELECT host, lang, UNNEST(generate_series(mn, mx, 86400)) AS bucket_sec FROM bounds
+),
+j AS (
+  SELECT s.host, s.lang, s.bucket_sec, CAST(h.doc_count AS DOUBLE) AS value
+  FROM spine s LEFT JOIN hs h
+    ON s.host = h.host AND s.lang = h.lang AND s.bucket_sec = h.bucket_sec
+)
+SELECT host, lang, bucket_sec,
+       COALESCE(value, last_value(value IGNORE NULLS) OVER
+         (PARTITION BY host, lang ORDER BY bucket_sec
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS value_locf,
+       value IS NULL AS is_filled
+FROM j
+"""
+

@@ -1,0 +1,60 @@
+"""Table-maintenance job: compaction + snapshot vacuum over a rollup output
+directory — the operational companion of rollup_job (the reference's
+ghost-index cleanup duty, /root/reference/libs/mimir/src/rubber.rs:566-602,
+run as its own lifecycle step).
+
+Usage: python -m mimirsbrunn_spark.jobs.maintenance_job --out <dir>
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .. import retention
+from ..tables import SnapshotTable
+
+
+def run_maintenance(
+    spark: SparkSession,
+    out_dir: str,
+    target_files: int = 8,
+    keep_snapshots: int = 2,
+) -> dict:
+    """Compact + vacuum every snapshot table under ``out_dir``. Lineage and
+    metrics are vacuumed but never compacted away (audit trail)."""
+    summary = {}
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(os.path.join(path, "_snapshots")):
+            continue
+        tbl = SnapshotTable(path)
+        if not tbl.exists():
+            continue
+        n_files = len(tbl.snapshot(tbl.current_snapshot_id()).files)
+        compacted = False
+        if name not in ("lineage", "metrics") and n_files > target_files:
+            retention.compact(spark, tbl, target_files=target_files)
+            compacted = True
+        removed = retention.vacuum(tbl, keep_snapshots=keep_snapshots)
+        summary[name] = {"compacted": compacted, "removed_file_sets": len(removed)}
+    return summary
+
+
+def main() -> None:  # pragma: no cover - thin CLI wrapper
+    import argparse
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--target-files", type=int, default=8)
+    ap.add_argument("--keep-snapshots", type=int, default=2)
+    args = ap.parse_args()
+    spark = get_spark(app_name="maintenance_job")
+    print(run_maintenance(spark, args.out, args.target_files, args.keep_snapshots))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

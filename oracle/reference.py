@@ -125,14 +125,23 @@ def host_series(tier_df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def gapfill(tier_df: pd.DataFrame, tier: str) -> pd.DataFrame:
-    """Long-format gap-filled host series for the tier:
-    host, bucket_ts, metric ∈ {doc_count, bytes_sum}, value_locf double,
-    value_linear double, is_filled bool."""
-    hs = host_series(tier_df)
+def gapfill(tier_df: pd.DataFrame, tier: str, by: tuple = ("host",)) -> pd.DataFrame:
+    """Long-format gap-filled series for the tier (keyed by ``by`` — host or
+    (host, lang)): *by, bucket_ts, metric ∈ {doc_count, bytes_sum},
+    value_locf double, value_linear double, is_filled bool."""
+    if by == ("host",):
+        hs = host_series(tier_df)
+    else:
+        hs = (
+            tier_df.groupby([*by, "bucket_ts"], as_index=False)
+            .agg(doc_count=("doc_count", "sum"), bytes_sum=("bytes_sum", "sum"))
+            .sort_values([*by, "bucket_ts"], kind="mergesort")
+            .reset_index(drop=True)
+        )
     step = TIER_SECONDS[tier]
     rows: list[tuple] = []
-    for host, g in hs.groupby("host", sort=True):
+    for host, g in hs.groupby(list(by), sort=True):
+        host = host if isinstance(host, tuple) else (host,)
         g = g.sort_values("bucket_ts", kind="mergesort")
         sec = g["bucket_ts"].astype("datetime64[us]").astype("int64") // 1_000_000
         sec = sec.to_numpy()
@@ -147,19 +156,19 @@ def gapfill(tier_df: pd.DataFrame, tier: str) -> pd.DataFrame:
                     j += 1
                 if t in vals:
                     v = float(vals[t])
-                    rows.append((host, t, metric, v, v, False))
+                    rows.append((*host, t, metric, v, v, False))
                 else:
                     t0, v0 = obs_t[j], obs_v[j]
                     t1, v1 = obs_t[j + 1], obs_v[j + 1]
                     lin = v0 + (v1 - v0) * (float(t - t0) / float(t1 - t0))
-                    rows.append((host, t, metric, float(v0), lin, True))
+                    rows.append((*host, t, metric, float(v0), lin, True))
     out = pd.DataFrame(
-        rows, columns=["host", "bucket_sec", "metric", "value_locf", "value_linear", "is_filled"]
+        rows, columns=[*by, "bucket_sec", "metric", "value_locf", "value_linear", "is_filled"]
     )
     out["bucket_ts"] = pd.to_datetime(out.pop("bucket_sec"), unit="s").astype("datetime64[us]")
     return (
-        out[["host", "bucket_ts", "metric", "value_locf", "value_linear", "is_filled"]]
-        .sort_values(["host", "metric", "bucket_ts"], kind="mergesort")
+        out[[*by, "bucket_ts", "metric", "value_locf", "value_linear", "is_filled"]]
+        .sort_values([*by, "metric", "bucket_ts"], kind="mergesort")
         .reset_index(drop=True)
     )
 

@@ -4,6 +4,7 @@ gate). Mirrors the reference's golden end-to-end assertions
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from oracle import reference as oracle
 from mimirsbrunn_spark import gapfill as gf
@@ -89,3 +90,20 @@ def test_gapfill_1d_exact_match(pages_df, pages_pdf):
     got = to_pdf(gf.gapfill(tiers.host_series(t), "1d"))
     got = got[["host", "bucket_ts", "metric", "value_locf", "value_linear", "is_filled"]]
     assert_frames_equal(got, want, keys=["host", "metric", "bucket_ts"])
+
+
+def test_gapfill_per_lang_exact_match(pages_df, pages_pdf):
+    """Per-language gap-filled series (north star: per-language doc-count
+    series) — engine vs oracle, exact."""
+    tier_o = oracle.rollup(oracle.series_1m(pages_pdf), "1d")
+    want = oracle.gapfill(tier_o, "1d", by=("host", "lang"))
+
+    base = series.series_1m(pages_df)
+    t = tiers.rollup(base, "1d")
+    lang_series = t.groupBy("host", "lang", "bucket_ts").agg(
+        F.sum("doc_count").alias("doc_count"), F.sum("bytes_sum").alias("bytes_sum")
+    )
+    got = to_pdf(gf.gapfill(lang_series, "1d", by=("host", "lang")))
+    got = got[["host", "lang", "bucket_ts", "metric", "value_locf", "value_linear", "is_filled"]]
+    want = want[["host", "lang", "bucket_ts", "metric", "value_locf", "value_linear", "is_filled"]]
+    assert_frames_equal(got, want, keys=["host", "lang", "metric", "bucket_ts"])

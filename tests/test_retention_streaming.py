@@ -142,3 +142,19 @@ def test_job_retention_stage(spark, small_pages_path, tmp_path):
     assert t.count() > 0
     m = SnapshotTable(f"{out}/metrics").read(spark)
     assert m.filter("stage = 'retention'").count() > 0
+
+
+def test_maintenance_job(spark, small_pages_path, tmp_path):
+    from mimirsbrunn_spark.jobs.maintenance_job import run_maintenance
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    out = str(tmp_path / "out_m")
+    run_rollup_job(spark, small_pages_path, out)
+    before = SnapshotTable(f"{out}/series_1m").read(spark).count()
+    summary = run_maintenance(spark, out, target_files=2, keep_snapshots=1)
+    assert "series_1m" in summary and summary["series_1m"]["compacted"]
+    after_tbl = SnapshotTable(f"{out}/series_1m")
+    assert after_tbl.read(spark).count() == before
+    assert len(after_tbl.snapshots()) == 1
+    # lineage survives vacuum (resume still works: second run processes 0)
+    assert run_rollup_job(spark, small_pages_path, out)["days_processed"] == 0
