@@ -256,3 +256,33 @@ def decode_chunks_pdf(chunks: pd.DataFrame) -> pd.DataFrame:
         for i in range(r.n_points):
             rows.append((r.host, pd.Timestamp(int(ts[i]), unit="s"), int(dc[i]), int(bs[i])))
     return pd.DataFrame(rows, columns=["host", "bucket_ts", "doc_count", "bytes_sum"])
+
+
+def _decode_group(pdf):
+    rows = {"host": [], "tier": [], "bucket_ts": [], "doc_count": [], "bytes_sum": []}
+    for r in pdf.itertuples(index=False):
+        ts = decode_dod(r.ts_dod, r.first_ts, r.n_points)
+        dc = decode_gorilla(r.val_gorilla, r.first_val, r.n_points)
+        bs = decode_gorilla(r.bytes_gorilla, r.first_bytes, r.n_points)
+        rows["host"].extend([r.host] * r.n_points)
+        rows["tier"].extend([r.tier] * r.n_points)
+        rows["bucket_ts"].extend(pd.to_datetime(ts, unit="s"))
+        rows["doc_count"].extend(dc.tolist())
+        rows["bytes_sum"].extend(bs.tolist())
+    yield pd.DataFrame(rows)
+
+
+def decode_chunks(chunks_df: DataFrame) -> DataFrame:
+    """Spark-side chunk read path: compressed chunk rows → host-level series
+    rows (mapInPandas; one Arrow batch of chunks in, the decoded points out).
+    The distributed inverse of encode_chunks — used by query layers that
+    serve directly from compressed storage."""
+
+    def batches(it):
+        for pdf in it:
+            yield from _decode_group(pdf)
+
+    return chunks_df.mapInPandas(
+        batches,
+        schema="host string, tier string, bucket_ts timestamp, doc_count long, bytes_sum long",
+    )

@@ -285,6 +285,7 @@ def core_queries() -> dict:
         "per_lang_daily": q_per_lang_daily,
         "gapfill_1h": q_gapfill_1h,
         "gapfill_lang_1d": q_gapfill_lang_1d,
+        "codec_roundtrip": q_codec_roundtrip,
     }
     return qs
 
@@ -301,6 +302,7 @@ def core_oracle_sql() -> dict:
         "per_lang_daily": SQL_PER_LANG_DAILY,
         "gapfill_1h": SQL_GAPFILL_1H,
         "gapfill_lang_1d": SQL_GAPFILL_LANG_1D,
+        "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
     }
 
 def q_gapfill_lang_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,5 +359,46 @@ SELECT host, lang, bucket_sec,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS value_locf,
        value IS NULL AS is_filled
 FROM j
+"""
+
+def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec path through the gate: hourly host series → DoD+Gorilla chunk
+    encode (applyInPandas) → distributed decode (mapInPandas). Since
+    decode∘encode is the identity, the DuckDB oracle is simply the hourly
+    series SQL — the bitstream round-trip itself is what is being verified."""
+    from . import codecs
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 3600))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("page_size").alias("bytes_sum"),
+        )
+        .select(
+            "host",
+            F.timestamp_seconds("bucket_sec").alias("bucket_ts"),
+            "doc_count",
+            "bytes_sum",
+        )
+    )
+    chunks = codecs.encode_chunks(hs, "1h")
+    out = codecs.decode_chunks(chunks)
+    return out.select(
+        "host",
+        F.col("bucket_ts").cast("long").alias("bucket_sec"),
+        "doc_count",
+        "bytes_sum",
+    )
+
+
+SQL_CODEC_ROUNDTRIP = f"""
+WITH {PAGES_CTE}
+SELECT host,
+       warc_sec - (warc_sec % 3600) AS bucket_sec,
+       CAST(COUNT(*) AS BIGINT)      AS doc_count,
+       CAST(SUM(page_size) AS BIGINT) AS bytes_sum
+FROM pages
+GROUP BY 1, 2
 """
 
