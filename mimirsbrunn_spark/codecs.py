@@ -22,6 +22,11 @@ Decode is the validation path (round-trip equality gate): numpy unpackbits +
 a per-point state walk (variable-length prefix codes are inherently
 sequential). It never sits on the hot write path.
 
+Family context (PAPERS.md): Gorilla-style XOR value compression and its
+successors (e.g. Chimp, VLDB 2022) — this engine pins the simplified XOR
+variant above for vectorizability; swapping in a Chimp-style leading-zero
+table is a kernel-local change behind the same chunk schema.
+
 Scale: one task per (host, tier) group; groups are rolled-up series (bounded
 by time range, not doc count) so group size is even across hosts — the skew
 answer of gapfill.py applies here too. At 100 TB, chunking further splits by

@@ -90,8 +90,12 @@ def run_rollup_job(
     for day in todo:
         t0 = time.time()
         day_pages = pages.filter(F.to_date("warc_ts") == F.lit(day))
-        s = series.series_1m(day_pages, n_salts=cfg.n_salts)
-        sid = series_tbl.commit(s, mode="append", meta={"partition": f"day={day}"})
+        s = series.series_1m(day_pages, n_salts=cfg.n_salts).withColumn(
+            "day", F.to_date("bucket_ts")
+        )
+        sid = series_tbl.commit(
+            s, mode="append", meta={"partition": f"day={day}"}, partition_by="day"
+        )
         committed = series_tbl.read_at(spark, sid)
         day_rows = s.count()
         lineage.record(

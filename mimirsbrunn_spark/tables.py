@@ -49,6 +49,7 @@ class Snapshot:
     row_count: int
     meta: dict
     committed_at: float
+    partitions: dict  # file path -> partition value ('' when unpartitioned)
 
 
 class SnapshotTable:
@@ -81,6 +82,7 @@ class SnapshotTable:
             row_count=m["row_count"],
             meta=m.get("meta", {}),
             committed_at=m["committed_at"],
+            partitions=m.get("partitions", {}),
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -94,35 +96,64 @@ class SnapshotTable:
 
     # -- commit ---------------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "append", meta: dict | None = None) -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        meta: dict | None = None,
+        partition_by: str | None = None,
+    ) -> int:
         """Write ``df`` as a new immutable file set and atomically publish a
         new snapshot. mode='append' keeps prior files; 'replace' starts the
-        manifest fresh (old snapshots stay time-travelable)."""
+        manifest fresh (old snapshots stay time-travelable).
+
+        ``partition_by``: column whose (string-cast) value partitions the
+        file layout. The column stays in the data files (the directory key is
+        a duplicated ``_p=`` hive dir), and the manifest records each file's
+        partition value — enabling manifest-level pruning (``read_at``
+        partition filters) and metadata-only deletes (``drop_partitions``),
+        the Iceberg partition-pruning/DELETE-WHERE analog."""
         assert mode in ("append", "replace")
+        from pyspark.sql import functions as F
+
         set_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
-        df.write.mode("errorifexists").parquet(set_dir)
-        new_files = [
-            os.path.join(set_dir, f)
-            for f in sorted(os.listdir(set_dir))
-            if f.endswith(".parquet")
-        ]
+        if partition_by:
+            df.withColumn("_p", F.col(partition_by).cast("string")).write.mode(
+                "errorifexists"
+            ).partitionBy("_p").parquet(set_dir)
+        else:
+            df.write.mode("errorifexists").parquet(set_dir)
+
+        new_files, new_parts = [], {}
+        for root, _, fs in sorted(os.walk(set_dir)):
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    full = os.path.join(root, f)
+                    new_files.append(full)
+                    seg = [p for p in root.split(os.sep) if p.startswith("_p=")]
+                    new_parts[full] = seg[0][3:] if seg else ""
         spark = df.sparkSession
-        new_rows = spark.read.parquet(set_dir).count() if new_files else 0
+        new_rows = spark.read.parquet(*new_files).count() if new_files else 0
 
         parent = self.current_snapshot_id()
         if parent is not None and mode == "append":
             prev = self.snapshot(parent)
             files = prev.files + new_files
             rows = prev.row_count + new_rows
+            parts = {**prev.partitions, **new_parts}
         else:
-            files, rows = new_files, new_rows
+            files, rows, parts = new_files, new_rows, new_parts
+        return self._publish(parent, files, rows, parts, meta or {})
+
+    def _publish(self, parent, files, rows, partitions, meta) -> int:
         sid = (parent or 0) + 1
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
             "files": files,
             "row_count": rows,
-            "meta": meta or {},
+            "partitions": partitions,
+            "meta": meta,
             "committed_at": time.time(),
         }
         tmp = self._manifest_path(sid) + f".tmp.{uuid.uuid4().hex}"
@@ -135,16 +166,57 @@ class SnapshotTable:
         os.replace(ptr_tmp, os.path.join(self.path, "_current"))
         return sid
 
+    def drop_partitions(self, spark: SparkSession, below: str, meta: dict | None = None) -> int:
+        """Metadata-only delete: publish a snapshot without the files whose
+        partition value sorts strictly below ``below`` (ISO day/epoch strings
+        sort correctly). No data is rewritten or removed — old snapshots stay
+        time-travelable until vacuum. Returns the new snapshot id."""
+        cur = self.snapshot(self.current_snapshot_id())
+        keep = [f for f in cur.files if not (cur.partitions.get(f) and cur.partitions[f] < below)]
+        parts = {f: cur.partitions.get(f, "") for f in keep}
+        rows = spark.read.parquet(*keep).count() if keep else 0
+        return self._publish(
+            cur.snapshot_id, keep, rows, parts, {**(meta or {}), "dropped_below": below}
+        )
+
     # -- read -----------------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        partition_min: str | None = None,
+        partition_max: str | None = None,
+    ) -> DataFrame:
         sid = self.current_snapshot_id()
         if sid is None:
             raise FileNotFoundError(f"table {self.path} has no snapshot")
-        return self.read_at(spark, sid)
+        return self.read_at(spark, sid, partition_min, partition_max)
 
-    def read_at(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
-        files = self.snapshot(snapshot_id).files
+    def read_at(
+        self,
+        spark: SparkSession,
+        snapshot_id: int,
+        partition_min: str | None = None,
+        partition_max: str | None = None,
+    ) -> DataFrame:
+        """Read a snapshot; optional manifest-level partition pruning — only
+        files whose partition value falls in [partition_min, partition_max]
+        are handed to the scan (no file listing, no footer reads for pruned
+        files)."""
+        snap = self.snapshot(snapshot_id)
+        files = snap.files
+        if partition_min is not None or partition_max is not None:
+            def ok(f):
+                v = snap.partitions.get(f, "")
+                if v == "":
+                    return True
+                return (partition_min is None or v >= partition_min) and (
+                    partition_max is None or v <= partition_max
+                )
+
+            files = [f for f in files if ok(f)]
+        if not files:
+            return spark.read.parquet(*snap.files).limit(0)
         return spark.read.parquet(*files)
 
     def exists(self) -> bool:

@@ -85,3 +85,49 @@ def test_job_kill_and_resume_exact(spark, small_pages_path, small_pages_pdf, tmp
     # metrics recorded per stage
     m = SnapshotTable(f"{out}/metrics").read(spark)
     assert m.filter("stage like 'series_1m/day=%'").count() > 0
+
+
+def test_partitioned_commit_prune_and_drop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    tbl = SnapshotTable(str(tmp_path / "pt"))
+    df = spark.range(100).select(
+        "id", F.concat(F.lit("2024-01-0"), (F.col("id") % 5 + 1).cast("string")).alias("day")
+    )
+    tbl.commit(df, mode="replace", partition_by="day")
+
+    # manifest-level pruning: only matching files reach the scan
+    pruned = tbl.read(spark, partition_min="2024-01-02", partition_max="2024-01-03")
+    assert pruned.count() == 40
+    assert set(r.day for r in pruned.select("day").distinct().collect()) == {
+        "2024-01-02",
+        "2024-01-03",
+    }
+
+    # metadata-only delete: no data rewritten, old snapshot still complete
+    before_files = set()
+    for root, _, fs in __import__("os").walk(tbl.path):
+        before_files.update(fs)
+    sid1 = tbl.current_snapshot_id()
+    tbl.drop_partitions(spark, below="2024-01-03")
+    after_files = set()
+    for root, _, fs in __import__("os").walk(tbl.path):
+        after_files.update(fs)
+    assert before_files - after_files == set()  # nothing deleted physically
+    assert tbl.read(spark).count() == 60
+    assert tbl.read_at(spark, sid1).count() == 100  # time travel intact
+
+
+def test_job_series_partitioned(spark, small_pages_path, tmp_path):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "outp")
+    run_rollup_job(spark, small_pages_path, out)
+    tbl = SnapshotTable(f"{out}/series_1m")
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    days = {v for v in snap.partitions.values() if v}
+    assert len(days) >= 2  # one partition value per day
+    one_day = sorted(days)[0]
+    pruned = tbl.read(spark, partition_min=one_day, partition_max=one_day)
+    assert pruned.count() > 0
+    assert pruned.select(F.max(F.to_date("bucket_ts").cast("string"))).collect()[0][0] == one_day
