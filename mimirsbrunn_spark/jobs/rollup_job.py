@@ -138,6 +138,19 @@ def run_rollup_job(
     # retention stage (explicit clock; no-op when not requested)
     if retention_now_epoch is not None:
         expired = {}
+        # 1m series: metadata-only partition drop (whole expired days fall
+        # out of the manifest; no data rewrite — the Iceberg partition-drop
+        # path). Conservative: only days strictly before the cutoff day.
+        policy_1m = cfg.retention.get("1m")
+        if policy_1m is not None and series_tbl.exists():
+            import datetime as dt
+
+            cutoff_day = dt.datetime.fromtimestamp(
+                retention_now_epoch - policy_1m, dt.timezone.utc
+            ).date().isoformat()
+            before = series_tbl.read(spark).count()
+            series_tbl.drop_partitions(spark, below=cutoff_day, meta={"retention": "1m"})
+            expired["1m_partitions"] = before - series_tbl.read(spark).count()
         for tier in ("1h", "1d", "30d"):
             expired[tier] = retention.expire_tier(
                 spark,

@@ -132,7 +132,7 @@ def test_job_retention_stage(spark, small_pages_path, tmp_path):
     from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
 
     out = str(tmp_path / "out_ret")
-    cfg = EngineConfig.load(retention={"1h": 2 * 86400})  # keep 2 days of 1h
+    cfg = EngineConfig.load(retention={"1m": 86400, "1h": 2 * 86400})
     pages = spark.read.parquet(small_pages_path)
     max_ts = pages.agg(F.max(F.col("warc_ts").cast("long"))).collect()[0][0]
     run_rollup_job(spark, small_pages_path, out, config=cfg, retention_now_epoch=max_ts)
@@ -142,6 +142,20 @@ def test_job_retention_stage(spark, small_pages_path, tmp_path):
     assert t.count() > 0
     m = SnapshotTable(f"{out}/metrics").read(spark)
     assert m.filter("stage = 'retention'").count() > 0
+
+    # 1m series retention is metadata-only (partition drop): expired days are
+    # gone from the current snapshot but the parent snapshot still has them
+    s_tbl = SnapshotTable(f"{out}/series_1m")
+    cur = s_tbl.snapshot(s_tbl.current_snapshot_id())
+    assert cur.meta.get("retention") == "1m"
+    import datetime as dt
+
+    cutoff_day = dt.datetime.fromtimestamp(
+        max_ts - cfg.retention["1m"], dt.timezone.utc
+    ).date().isoformat()
+    assert all(not (v and v < cutoff_day) for v in cur.partitions.values())
+    parent = s_tbl.snapshot(cur.parent_id)
+    assert len(parent.files) >= len(cur.files)
 
 
 def test_maintenance_job(spark, small_pages_path, tmp_path):
