@@ -2,19 +2,10 @@
 relies on must not regress (SURVEY.md 'optimize for scale' discipline).
 These inspect plans only — no job execution."""
 
-import io
-from contextlib import redirect_stdout
-
 from pyspark.sql import functions as F
 
 from mimirsbrunn_spark import gate_rel, series, tiers
-
-
-def plan_str(df, mode="formatted") -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+from mimirsbrunn_spark.plans import plan_str
 
 
 def test_series_plan_hash_agg_only(pages_df):
