@@ -18,9 +18,10 @@ mirroring the reference's chunked ``pack(1000).par_map`` bulk pipeline
 (/root/reference/libs/mimir/src/rubber.rs:684-699) whose chunk = our Arrow
 batch. No per-row Python anywhere on the encode path (north rule).
 
-Decode is the validation path (round-trip equality gate): numpy unpackbits +
-a per-point state walk (variable-length prefix codes are inherently
-sequential). It never sits on the hot write path.
+Decode walks the stream per point (variable-length prefix codes are
+inherently sequential); reads are O(1) via a sliding 16-byte int window
+(_FastBits) so decoding costs ~1 µs/point — fine for the chunk read path
+(decode_chunks) and the round-trip validation gates.
 
 Family context (PAPERS.md): Gorilla-style XOR value compression and its
 successors (e.g. Chimp, VLDB 2022) — this engine pins the simplified XOR
@@ -142,23 +143,33 @@ def encode_gorilla(vals: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+class _FastBits:
+    """O(1) bit reads: a 16-byte window is re-read as an int around the
+    cursor (max field width 68 bits < 128-16+1)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data + b"\x00" * 16  # window slack past the end
+        self.pos = 0
+
+    def take(self, k: int) -> int:
+        byte0 = self.pos >> 3
+        window = int.from_bytes(self.data[byte0 : byte0 + 16], "big")
+        v = (window >> (128 - (self.pos - (byte0 << 3)) - k)) & ((1 << k) - 1)
+        self.pos += k
+        return v
+
+
 def decode_dod(data: bytes, first_ts: int, n: int) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     out[0] = first_ts
     if n == 1:
         return out
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).astype(np.int64)
-    pos = 0
+    r = _FastBits(data)
+    take = r.take
     prev_delta = 0
     t = int(first_ts)
-
-    def take(k):
-        nonlocal pos
-        v = 0
-        for b in bits[pos : pos + k]:
-            v = (v << 1) | int(b)
-        pos += k
-        return v
 
     for i in range(1, n):
         if take(1) == 0:
@@ -180,20 +191,12 @@ def decode_dod(data: bytes, first_ts: int, n: int) -> np.ndarray:
 
 def decode_gorilla(data: bytes, first_val: int, n: int) -> np.ndarray:
     out = np.empty(n, dtype=np.uint64)
-    prev = np.uint64(int(first_val) & 0xFFFFFFFFFFFFFFFF)
+    prev = int(first_val) & 0xFFFFFFFFFFFFFFFF
     out[0] = prev
     if n == 1:
         return out.astype(np.int64)
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).astype(np.int64)
-    pos = 0
-
-    def take(k):
-        nonlocal pos
-        v = 0
-        for b in bits[pos : pos + k]:
-            v = (v << 1) | int(b)
-        pos += k
-        return v
+    r = _FastBits(data)
+    take = r.take
 
     for i in range(1, n):
         if take(1) == 0:
@@ -201,8 +204,7 @@ def decode_gorilla(data: bytes, first_val: int, n: int) -> np.ndarray:
         else:
             take(6)  # lead (implied)
             meaningful = take(6) + 1
-            x = np.uint64(take(meaningful))
-            prev = prev ^ x
+            prev = prev ^ take(meaningful)
             out[i] = prev
     return out.astype(np.int64)
 
@@ -218,36 +220,48 @@ CHUNK_SCHEMA = (
 )
 
 
-def _encode_group(key, pdf):
-    host, tier = key
-    pdf = pdf.sort_values("bucket_ts", kind="mergesort")
-    sec = (pdf["bucket_ts"].astype("datetime64[us]").astype("int64") // 1_000_000).to_numpy()
-    dc = pdf["doc_count"].to_numpy().astype(np.int64)
-    bs = pdf["bytes_sum"].to_numpy().astype(np.int64)
-    return pd.DataFrame(
-        {
-            "host": [host],
-            "tier": [tier],
-            "chunk_start": [pd.Timestamp(int(sec[0]), unit="s")],
-            "ts_dod": [encode_dod(sec)],
-            "val_gorilla": [encode_gorilla(dc)],
-            "bytes_gorilla": [encode_gorilla(bs)],
-            "n_points": [len(sec)],
-            "first_ts": [int(sec[0])],
-            "first_val": [int(dc[0])],
-            "first_bytes": [int(bs[0])],
-        }
-    )
+def _encode_group_fn(max_points):
+    def _encode_group(key, pdf):
+        host, tier = key
+        pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+        sec = (pdf["bucket_ts"].astype("datetime64[us]").astype("int64") // 1_000_000).to_numpy()
+        dc = pdf["doc_count"].to_numpy().astype(np.int64)
+        bs = pdf["bytes_sum"].to_numpy().astype(np.int64)
+        step = max_points or len(sec) or 1
+        rows = {k: [] for k in (
+            "host", "tier", "chunk_start", "ts_dod", "val_gorilla", "bytes_gorilla",
+            "n_points", "first_ts", "first_val", "first_bytes")}
+        for lo in range(0, len(sec), step):
+            hi = min(lo + step, len(sec))
+            rows["host"].append(host)
+            rows["tier"].append(tier)
+            rows["chunk_start"].append(pd.Timestamp(int(sec[lo]), unit="s"))
+            rows["ts_dod"].append(encode_dod(sec[lo:hi]))
+            rows["val_gorilla"].append(encode_gorilla(dc[lo:hi]))
+            rows["bytes_gorilla"].append(encode_gorilla(bs[lo:hi]))
+            rows["n_points"].append(hi - lo)
+            rows["first_ts"].append(int(sec[lo]))
+            rows["first_val"].append(int(dc[lo]))
+            rows["first_bytes"].append(int(bs[lo]))
+        return pd.DataFrame(rows)
+
+    return _encode_group
 
 
-def encode_chunks(host_series_df: DataFrame, tier: str) -> DataFrame:
-    """Host-level tier series → one compressed chunk per (host, tier)."""
+def encode_chunks(
+    host_series_df: DataFrame, tier: str, max_points_per_chunk: int | None = None
+) -> DataFrame:
+    """Host-level tier series → compressed chunks per (host, tier).
+    ``max_points_per_chunk`` splits long series into multiple chunks (the
+    100 TB path: bounded chunk size → bounded decode/update units and
+    time-range pruning by chunk_start); default one chunk per host (matches
+    the golden oracle chunks)."""
     from pyspark.sql import functions as F
 
     return (
         host_series_df.withColumn("tier", F.lit(tier))
         .groupBy("host", "tier")
-        .applyInPandas(_encode_group, schema=CHUNK_SCHEMA)
+        .applyInPandas(_encode_group_fn(max_points_per_chunk), schema=CHUNK_SCHEMA)
     )
 
 

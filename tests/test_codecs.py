@@ -89,3 +89,25 @@ def test_spark_chunks_roundtrip(spark, pages_df, pages_pdf):
     total_points = int(chunks["n_points"].sum())
     total_ts_bytes = int(chunks["ts_dod"].map(len).sum())
     assert total_ts_bytes < 8 * total_points
+
+
+def test_multi_chunk_roundtrip(spark, pages_df, pages_pdf):
+    """Bounded chunk size: series splits into multiple chunks per host and
+    still round-trips exactly."""
+    base = series.series_1m(pages_df)
+    hourly = tiers.host_series(tiers.rollup(base, "1h"))
+    chunks = codecs.encode_chunks(hourly, "1h", max_points_per_chunk=50).toPandas()
+    per_host = chunks.groupby("host").size()
+    assert (per_host > 1).any()
+    assert (chunks["n_points"] <= 50).all()
+
+    decoded = codecs.decode_chunks_pdf(chunks)
+    decoded["bucket_ts"] = decoded["bucket_ts"].astype("datetime64[us]")
+    want = oracle.host_series(oracle.rollup(oracle.series_1m(pages_pdf), "1h"))
+    d = decoded.sort_values(["host", "bucket_ts"], kind="mergesort").reset_index(drop=True)
+    w = want.sort_values(["host", "bucket_ts"], kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        d[["host", "bucket_ts", "doc_count", "bytes_sum"]],
+        w[["host", "bucket_ts", "doc_count", "bytes_sum"]],
+        check_dtype=False,
+    )
