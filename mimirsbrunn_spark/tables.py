@@ -32,10 +32,12 @@ libs/mimir/src/rubber.rs:736-744).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -135,15 +137,31 @@ class SnapshotTable:
         spark = df.sparkSession
         new_rows = spark.read.parquet(*new_files).count() if new_files else 0
 
-        parent = self.current_snapshot_id()
-        if parent is not None and mode == "append":
-            prev = self.snapshot(parent)
-            files = prev.files + new_files
-            rows = prev.row_count + new_rows
-            parts = {**prev.partitions, **new_parts}
-        else:
-            files, rows, parts = new_files, new_rows, new_parts
-        return self._publish(parent, files, rows, parts, meta or {})
+        # Commit under the table lock: the parent is re-read inside the
+        # critical section and the manifest rebased onto it, so two
+        # concurrent appends serialize instead of silently dropping each
+        # other's files (optimistic-concurrency commit, Iceberg-style; the
+        # expensive data write above happens outside the lock).
+        with self._lock():
+            parent = self.current_snapshot_id()
+            if parent is not None and mode == "append":
+                prev = self.snapshot(parent)
+                files = prev.files + new_files
+                rows = prev.row_count + new_rows
+                parts = {**prev.partitions, **new_parts}
+            else:
+                files, rows, parts = new_files, new_rows, new_parts
+            return self._publish(parent, files, rows, parts, meta or {})
+
+    @contextmanager
+    def _lock(self):
+        lock_path = os.path.join(self.path, "_lock")
+        with open(lock_path, "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
 
     def _publish(self, parent, files, rows, partitions, meta) -> int:
         sid = (parent or 0) + 1
@@ -171,13 +189,16 @@ class SnapshotTable:
         partition value sorts strictly below ``below`` (ISO day/epoch strings
         sort correctly). No data is rewritten or removed — old snapshots stay
         time-travelable until vacuum. Returns the new snapshot id."""
-        cur = self.snapshot(self.current_snapshot_id())
-        keep = [f for f in cur.files if not (cur.partitions.get(f) and cur.partitions[f] < below)]
-        parts = {f: cur.partitions.get(f, "") for f in keep}
-        rows = spark.read.parquet(*keep).count() if keep else 0
-        return self._publish(
-            cur.snapshot_id, keep, rows, parts, {**(meta or {}), "dropped_below": below}
-        )
+        with self._lock():
+            cur = self.snapshot(self.current_snapshot_id())
+            keep = [
+                f for f in cur.files if not (cur.partitions.get(f) and cur.partitions[f] < below)
+            ]
+            parts = {f: cur.partitions.get(f, "") for f in keep}
+            rows = spark.read.parquet(*keep).count() if keep else 0
+            return self._publish(
+                cur.snapshot_id, keep, rows, parts, {**(meta or {}), "dropped_below": below}
+            )
 
     # -- read -----------------------------------------------------------------
 

@@ -131,3 +131,30 @@ def test_job_series_partitioned(spark, small_pages_path, tmp_path):
     pruned = tbl.read(spark, partition_min=one_day, partition_max=one_day)
     assert pruned.count() > 0
     assert pruned.select(F.max(F.to_date("bucket_ts").cast("string"))).collect()[0][0] == one_day
+
+
+def test_concurrent_appends_serialize(spark, tmp_path):
+    """Two threads appending concurrently must both survive in the final
+    manifest (commit lock + rebase — no lost file sets)."""
+    import threading
+
+    tbl = SnapshotTable(str(tmp_path / "conc"))
+    tbl.commit(spark.range(0, 10).toDF("id"), mode="replace")
+    errs = []
+
+    def worker(lo):
+        try:
+            tbl.commit(spark.range(lo, lo + 10).toDF("id"), mode="append")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(100 * (i + 1),)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = sorted(r.id for r in tbl.read(spark).collect())
+    want = sorted(list(range(10)) + [100 * (i + 1) + j for i in range(4) for j in range(10)])
+    assert got == want
+    assert tbl.current_snapshot_id() == 5
