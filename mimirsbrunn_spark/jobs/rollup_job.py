@@ -64,6 +64,7 @@ def run_rollup_job(
     out_dir: str,
     job_id: str = "rollup",
     fail_after: int | None = None,
+    fail_before_lineage: int | None = None,
     config: EngineConfig | None = None,
     retention_now_epoch: int | None = None,
 ) -> dict:
@@ -89,6 +90,12 @@ def run_rollup_job(
     processed = 0
     for day in todo:
         t0 = time.time()
+        # Idempotent resume: a crash between the series commit and the
+        # lineage record leaves the day committed but unmarked — the rerun
+        # sees it in `todo` again. Metadata-only drop of any existing files
+        # for this day turns the re-append into an overwrite (no duplicates,
+        # no doubled derived tiers). Costs nothing on the clean path.
+        series_tbl.drop_partition_values({day}, meta={"resume_overwrite": f"day={day}"})
         day_pages = pages.filter(F.to_date("warc_ts") == F.lit(day))
         s = series.series_1m(day_pages, n_salts=cfg.n_salts).withColumn(
             "day", F.to_date("bucket_ts")
@@ -96,15 +103,25 @@ def run_rollup_job(
         sid = series_tbl.commit(
             s, mode="append", meta={"partition": f"day={day}"}, partition_by="day"
         )
-        committed = series_tbl.read_at(spark, sid)
-        day_rows = s.count()
+        processed += 1
+        if fail_before_lineage is not None and processed >= fail_before_lineage:
+            # crash INSIDE the commit→lineage window (the non-idempotent
+            # window the drop above protects; exercised by the resume tests)
+            raise SimulatedFailure(f"injected failure before lineage, day={day}")
+        # Day row count from manifest footer stats (no re-scan): after the
+        # drop above, every file carrying this day's partition value belongs
+        # to the commit we just made.
+        snap = series_tbl.snapshot(sid)
+        day_rows = sum(r for f, r in snap.file_rows.items() if snap.partitions.get(f) == day)
+        # Checksum over the COMMITTED rows (tiny rolled-up day, manifest-
+        # pruned read) rather than re-running the raw pages aggregation.
         lineage.record(
             spark,
             partition_id=f"day={day}",
             input_snapshot=0,
             output_snapshot=sid,
             row_count=day_rows,
-            checksum=_checksum(s),
+            checksum=_checksum(series_tbl.read(spark, partition_min=day, partition_max=day)),
         )
         metrics.record(
             spark,
@@ -112,8 +129,6 @@ def run_rollup_job(
             stage=f"series_1m/day={day}",
             kv={"rows": day_rows, "seconds": time.time() - t0},
         )
-        processed += 1
-        del committed
         if fail_after is not None and processed >= fail_after:
             raise SimulatedFailure(f"injected failure after {processed} partitions")
 

@@ -115,9 +115,14 @@ def minhash_candidates(
         F.col(id_col).alias("id"),
         shingles(text_col, shingle_n).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), k))
+
+    # Band rows carry ONLY (id, band, bucket) — ~24 bytes/row. The shingle
+    # arrays (KBs/doc) must NOT ride the bands×N explode through the bucket
+    # shuffle; at 100 TB that would multiply shuffle volume by bands × the
+    # shingle payload. Shingles are re-joined below for the (tiny) surviving
+    # candidate set only — the same shape ngram_jaccard_pairs uses.
     banded = d.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -137,7 +142,7 @@ def minhash_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     from pyspark.sql import Window
 
@@ -145,14 +150,18 @@ def minhash_candidates(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("_bn") <= max_bucket)
 
-    a = sized.select("band", "bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sized.select("band", "bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sized.select("band", "bucket", F.col("id").alias("id_a"))
+    b = sized.select("band", "bucket", F.col("id").alias("id_b"))
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh = d.select("id", "sh")
+    pairs = pairs.join(
+        sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+    ).join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return pairs.select(
@@ -182,10 +191,11 @@ def _simhash_batch(it):
                 np.int64
             )
             votes = bits.sum(axis=0) * 2 - len(h)  # +1 / −1 per token per bit
-            sim = np.uint64(0)
             sim_bits = (votes > 0).astype(np.uint64)
             sim = (sim_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-            out[i] = np.int64(sim)
+            # explicit wrapping uint64→int64 cast: np.int64(x) with bit 63
+            # set raises OverflowError on numpy >= 2 (silent wrap on 1.x)
+            out[i] = np.uint64(sim).astype(np.int64)
         yield pd.DataFrame({"id": pdf["id"], "simhash": out})
 
 

@@ -63,8 +63,16 @@ def vacuum(table: SnapshotTable, keep_snapshots: int = 2) -> list[str]:
     snapshots; drop older manifests. Returns removed file-set dirs."""
     snaps = table.snapshots()
     keep = snaps[-keep_snapshots:] if keep_snapshots > 0 else snaps[-1:]
-    referenced = {os.path.dirname(f) for s in keep for f in s.files}
     data_root = os.path.join(table.path, "data")
+    # Referenced = TOP-LEVEL file-set dirs (data/<uuid>). Partitioned commits
+    # nest files under data/<uuid>/_p=<val>/, so dirname(f) would yield the
+    # _p= subdir and every partitioned set would look unreferenced — deleting
+    # live data. Resolve each file back to its first path segment under data/.
+    referenced = {
+        os.path.join(data_root, os.path.relpath(f, data_root).split(os.sep)[0])
+        for s in keep
+        for f in s.files
+    }
     removed = []
     for d in sorted(os.listdir(data_root)):
         full = os.path.join(data_root, d)

@@ -66,6 +66,23 @@ def stream_series_1m(
     )
 
 
+def idempotent_batch_commit(table: SnapshotTable, batch_df: DataFrame, batch_id: int) -> bool:
+    """foreachBatch-safe append: after a failure/restart Structured Streaming
+    REPLAYS the last un-checkpointed batch with the same batch_id, so a naive
+    append would double-commit those rows. Skip (return False) when a snapshot
+    for this batch_id already exists in the current chain. (Walking the chain
+    is O(snapshots) driver-side JSON reads; Iceberg's snapshot-summary lookup
+    plays this role at deploy time.)"""
+    if batch_df.isEmpty():
+        return False
+    if table.exists() and any(
+        s.meta.get("stream_batch") == batch_id for s in table.snapshots()
+    ):
+        return False
+    table.commit(batch_df, mode="append", meta={"stream_batch": batch_id})
+    return True
+
+
 def run_stream_to_table(
     spark: SparkSession,
     pages_dir: str,
@@ -79,9 +96,7 @@ def run_stream_to_table(
     series = stream_series_1m(spark, pages_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        table.commit(batch_df, mode="append", meta={"stream_batch": batch_id})
+        idempotent_batch_commit(table, batch_df, batch_id)
 
     writer = (
         series.writeStream.outputMode("append")

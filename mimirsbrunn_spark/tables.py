@@ -52,6 +52,8 @@ class Snapshot:
     meta: dict
     committed_at: float
     partitions: dict  # file path -> partition value ('' when unpartitioned)
+    file_rows: dict  # file path -> row count (from parquet footers at write)
+    schema_json: str | None  # Spark StructType json of the table schema
 
 
 class SnapshotTable:
@@ -85,6 +87,8 @@ class SnapshotTable:
             meta=m.get("meta", {}),
             committed_at=m["committed_at"],
             partitions=m.get("partitions", {}),
+            file_rows=m.get("file_rows", {}),
+            schema_json=m.get("schema_json"),
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -126,7 +130,13 @@ class SnapshotTable:
         else:
             df.write.mode("errorifexists").parquet(set_dir)
 
-        new_files, new_parts = [], {}
+        # Per-file row counts come from the parquet FOOTERS (driver-side
+        # pyarrow metadata read, no Spark job, no data re-scan) — the Iceberg
+        # manifest-stats analog. commit() and drop_partitions() are then pure
+        # arithmetic over these stats.
+        import pyarrow.parquet as pq
+
+        new_files, new_parts, new_frows = [], {}, {}
         for root, _, fs in sorted(os.walk(set_dir)):
             for f in sorted(fs):
                 if f.endswith(".parquet"):
@@ -134,8 +144,9 @@ class SnapshotTable:
                     new_files.append(full)
                     seg = [p for p in root.split(os.sep) if p.startswith("_p=")]
                     new_parts[full] = seg[0][3:] if seg else ""
-        spark = df.sparkSession
-        new_rows = spark.read.parquet(*new_files).count() if new_files else 0
+                    new_frows[full] = pq.ParquetFile(full).metadata.num_rows
+        new_rows = sum(new_frows.values())
+        schema_json = df.schema.json()
 
         # Commit under the table lock: the parent is re-read inside the
         # critical section and the manifest rebased onto it, so two
@@ -149,9 +160,10 @@ class SnapshotTable:
                 files = prev.files + new_files
                 rows = prev.row_count + new_rows
                 parts = {**prev.partitions, **new_parts}
+                frows = {**prev.file_rows, **new_frows}
             else:
-                files, rows, parts = new_files, new_rows, new_parts
-            return self._publish(parent, files, rows, parts, meta or {})
+                files, rows, parts, frows = new_files, new_rows, new_parts, new_frows
+            return self._publish(parent, files, rows, parts, frows, schema_json, meta or {})
 
     @contextmanager
     def _lock(self):
@@ -163,7 +175,7 @@ class SnapshotTable:
             finally:
                 fcntl.flock(fh, fcntl.LOCK_UN)
 
-    def _publish(self, parent, files, rows, partitions, meta) -> int:
+    def _publish(self, parent, files, rows, partitions, file_rows, schema_json, meta) -> int:
         sid = (parent or 0) + 1
         manifest = {
             "snapshot_id": sid,
@@ -171,6 +183,8 @@ class SnapshotTable:
             "files": files,
             "row_count": rows,
             "partitions": partitions,
+            "file_rows": file_rows,
+            "schema_json": schema_json,
             "meta": meta,
             "committed_at": time.time(),
         }
@@ -187,18 +201,38 @@ class SnapshotTable:
     def drop_partitions(self, spark: SparkSession, below: str, meta: dict | None = None) -> int:
         """Metadata-only delete: publish a snapshot without the files whose
         partition value sorts strictly below ``below`` (ISO day/epoch strings
-        sort correctly). No data is rewritten or removed — old snapshots stay
-        time-travelable until vacuum. Returns the new snapshot id."""
+        sort correctly). No data is rewritten, removed, or even READ — the new
+        row count is arithmetic over the manifest's per-file stats. Old
+        snapshots stay time-travelable until vacuum. Returns the snapshot id.
+
+        ``spark`` is unused (kept for API stability)."""
+        return self._drop_files(lambda v: bool(v) and v < below, {**(meta or {}), "dropped_below": below})
+
+    def drop_partition_values(self, values, meta: dict | None = None) -> int | None:
+        """Metadata-only removal of files whose partition value is in
+        ``values`` (idempotent-overwrite primitive: drop a day before
+        re-appending it). Returns the new snapshot id, or None when the table
+        has no snapshot or nothing matches (no empty commit)."""
+        if self.current_snapshot_id() is None:
+            return None
+        values = set(values)
+        cur = self.snapshot(self.current_snapshot_id())
+        if not any(cur.partitions.get(f, "") in values for f in cur.files):
+            return None
+        return self._drop_files(
+            lambda v: v in values, {**(meta or {}), "dropped_values": sorted(values)}
+        )
+
+    def _drop_files(self, pred, meta: dict) -> int:
+        """Publish a snapshot keeping only files whose partition value fails
+        ``pred``. Pure manifest arithmetic — no Spark job."""
         with self._lock():
             cur = self.snapshot(self.current_snapshot_id())
-            keep = [
-                f for f in cur.files if not (cur.partitions.get(f) and cur.partitions[f] < below)
-            ]
+            keep = [f for f in cur.files if not pred(cur.partitions.get(f, ""))]
             parts = {f: cur.partitions.get(f, "") for f in keep}
-            rows = spark.read.parquet(*keep).count() if keep else 0
-            return self._publish(
-                cur.snapshot_id, keep, rows, parts, {**(meta or {}), "dropped_below": below}
-            )
+            frows = {f: cur.file_rows.get(f, 0) for f in keep}
+            rows = sum(frows.values())
+            return self._publish(cur.snapshot_id, keep, rows, parts, frows, cur.schema_json, meta)
 
     # -- read -----------------------------------------------------------------
 
@@ -237,7 +271,18 @@ class SnapshotTable:
 
             files = [f for f in files if ok(f)]
         if not files:
-            return spark.read.parquet(*snap.files).limit(0)
+            # Pruned-to-nothing OR a genuinely empty snapshot (every partition
+            # dropped): synthesize an empty DF from the manifest schema instead
+            # of handing parquet() zero paths (which raises).
+            if snap.files:
+                return spark.read.parquet(*snap.files).limit(0)
+            if snap.schema_json is None:
+                raise FileNotFoundError(
+                    f"snapshot {snapshot_id} of {self.path} is empty and has no recorded schema"
+                )
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(snap.schema_json)))
         return spark.read.parquet(*files)
 
     def exists(self) -> bool:

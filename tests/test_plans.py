@@ -45,3 +45,20 @@ def test_cascade_reuses_partitioning(pages_df):
     n_h = plan_str(hourly, "simple").count("Exchange")
     n_d = plan_str(daily_from_hourly, "simple").count("Exchange")
     assert n_d == n_h + 1
+
+
+def test_minhash_band_exchange_carries_no_shingles(pages_df, spark):
+    """The band-bucket shuffle must move only (id, band, bucket) — the
+    shingle arrays (KBs/doc) are re-joined for surviving pairs only. Any
+    Exchange or Window partitioned on (band, bucket) whose schema mentions
+    `sh` means the payload regression is back."""
+    from mimirsbrunn_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = pages_df.limit(100).selectExpr("url as doc_id", "text")
+    p = plan_str(minhash_dedup_pairs(docs))
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" in line and "band" in line and "bucket" in line:
+            # the Window over (band, bucket) sizes buckets; its expressions
+            # must not include the shingle column
+            assert "sh#" not in line

@@ -172,3 +172,110 @@ def test_maintenance_job(spark, small_pages_path, tmp_path):
     assert len(after_tbl.snapshots()) == 1
     # lineage survives vacuum (resume still works: second run processes 0)
     assert run_rollup_job(spark, small_pages_path, out)["days_processed"] == 0
+
+
+def test_vacuum_partitioned_keeps_live_data(spark, tmp_path):
+    """Regression (ADVICE r1): partitioned commits nest files under
+    data/<uuid>/_p=<val>/, and vacuum must resolve references to the
+    TOP-LEVEL set dirs — the old dirname() logic rmtree'd every partitioned
+    set, including the current snapshot's data."""
+    from pyspark.sql import functions as F
+
+    tbl = SnapshotTable(str(tmp_path / "vp"))
+    df = spark.range(20).select(
+        "id", F.concat(F.lit("2024-01-0"), (F.col("id") % 2 + 1).cast("string")).alias("day")
+    )
+    tbl.commit(df, mode="replace", partition_by="day")
+    tbl.commit(
+        spark.range(20, 30).select("id", F.lit("2024-01-03").alias("day")),
+        mode="append",
+        partition_by="day",
+    )
+    removed = retention.vacuum(tbl, keep_snapshots=1)
+    # snapshot 2 references both set dirs (append keeps parent files):
+    # nothing may be deleted, and the current snapshot must stay readable
+    assert removed == []
+    assert tbl.read(spark).count() == 30
+    # now replace-commit (drops old file sets from the manifest) and vacuum:
+    # exactly the two pre-replace set dirs go, current data survives
+    tbl.commit(
+        spark.range(5).select("id", F.lit("2024-02-01").alias("day")),
+        mode="replace",
+        partition_by="day",
+    )
+    removed = retention.vacuum(tbl, keep_snapshots=1)
+    assert len(removed) == 2
+    assert tbl.read(spark).count() == 5
+
+
+def test_drop_partitions_is_pure_metadata(spark, tmp_path):
+    """drop_partitions must be manifest arithmetic only — it runs no Spark
+    job at all (asserted by passing spark=None) and its row counts come from
+    the parquet footer stats collected at commit."""
+    from pyspark.sql import functions as F
+
+    tbl = SnapshotTable(str(tmp_path / "dp"))
+    df = spark.range(100).select(
+        "id", F.concat(F.lit("2024-01-0"), (F.col("id") % 5 + 1).cast("string")).alias("day")
+    )
+    tbl.commit(df, mode="replace", partition_by="day")
+    tbl.drop_partitions(None, below="2024-01-03")  # None: no SparkSession needed
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    assert snap.row_count == 60
+    assert tbl.read(spark).count() == 60
+
+
+def test_read_after_all_partitions_dropped(spark, tmp_path):
+    """Dropping every partition leaves an empty snapshot; read() must return
+    an empty DF with the recorded schema instead of crashing (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    tbl = SnapshotTable(str(tmp_path / "empty"))
+    df = spark.range(10).select("id", F.lit("2024-01-01").alias("day"))
+    tbl.commit(df, mode="replace", partition_by="day")
+    tbl.drop_partition_values({"2024-01-01"})
+    got = tbl.read(spark)
+    assert got.count() == 0
+    assert got.columns == ["id", "day"]
+
+
+def test_resume_crash_before_lineage_no_duplicates(spark, small_pages_path, tmp_path):
+    """Crash in the commit→lineage window (day committed, lineage missing):
+    the rerun must overwrite the day, not double-append it (ADVICE r1)."""
+    from mimirsbrunn_spark.jobs.rollup_job import SimulatedFailure, run_rollup_job
+
+    out = str(tmp_path / "out_cbl")
+    with pytest.raises(SimulatedFailure):
+        run_rollup_job(spark, small_pages_path, out, fail_before_lineage=1)
+    # the day IS committed but NOT in lineage
+    s_tbl = SnapshotTable(f"{out}/series_1m")
+    committed_rows = s_tbl.read(spark).count()
+    assert committed_rows > 0
+    from mimirsbrunn_spark.tables import Lineage
+
+    assert len(Lineage(f"{out}/lineage").committed_partitions(spark)) == 0
+
+    summary = run_rollup_job(spark, small_pages_path, out)
+    assert summary["days_skipped"] == 0  # nothing was in lineage
+    final = s_tbl.read(spark)
+    # no duplicated (host, bucket, lang) rows from the replayed day
+    assert final.count() == final.dropDuplicates(["host", "bucket_ts", "lang"]).count()
+    # and the table equals a clean run's series exactly
+    out2 = str(tmp_path / "out_clean")
+    run_rollup_job(spark, small_pages_path, out2)
+    clean = SnapshotTable(f"{out2}/series_1m").read(spark)
+    assert final.count() == clean.count()
+    assert final.exceptAll(clean).count() == 0
+
+
+def test_streaming_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replay of the same batch_id must not double-append."""
+    from mimirsbrunn_spark.streaming import idempotent_batch_commit
+
+    tbl = SnapshotTable(str(tmp_path / "sb"))
+    batch = spark.range(10).toDF("id")
+    assert idempotent_batch_commit(tbl, batch, 7) is True
+    assert idempotent_batch_commit(tbl, batch, 7) is False  # replay skipped
+    assert tbl.read(spark).count() == 10
+    assert idempotent_batch_commit(tbl, batch, 8) is True
+    assert tbl.read(spark).count() == 20
