@@ -176,17 +176,100 @@ FROM scored ORDER BY cosine DESC, id ASC LIMIT 10
 """
 
 
-# --- rows-only entries (exactness covered by pytest oracles) --------------
+# --- minhash / simhash / ann_lsh (value-verified gate variants) -----------
+#
+# The production operators hash with xxhash64 (JVM intrinsic); DuckDB has no
+# xxhash64, so the GATE variants pin the md5_60 hash (md5 hex-prefix as a
+# 60-bit int — bit-identical across engines, see operators/dedup.py) so the
+# driver can verify VALUES, not just row counts. Same pipeline, same shapes;
+# only the hash family differs.
+
+_DUCK_H60 = "(('0x' || substr(md5(%s), 1, 15))::BIGINT)"
+_NORM_TOKS = r"string_split(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), ' ')"
 
 
 def q_minhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(d, threshold=0.5, k=32, bands=16)
+    return dedup.minhash_dedup_pairs(
+        d, threshold=0.5, k=32, bands=16, hasher="md5_60"
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def _minhash_sql(k: int = 32, bands: int = 16, shingle_n: int = 3, max_bucket: int = 64,
+                 threshold: float = 0.5) -> str:
+    rows_per_band = k // bands
+    lanes = ", ".join(
+        "list_min(list_transform(s, x -> "
+        + _DUCK_H60 % f"'mh{i}:' || x"
+        + "))"
+        for i in range(k)
+    )
+    band_branches = []
+    for b in range(bands):
+        concat = " || ',' || ".join(
+            f"CAST(g[{b * rows_per_band + r + 1}] AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_branches.append(
+            f"SELECT doc_id, {b} AS band, {_DUCK_H60 % concat} AS bucket FROM sig"
+        )
+    banded = "\n  UNION ALL ".join(band_branches)
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_NORM_TOKS} AS t FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, GREATEST(len(t) - {shingle_n - 1}, 1)),
+    i -> array_to_string(list_slice(t, i, i + {shingle_n - 1}), ' '))) AS s
+  FROM toks
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, [{lanes}] AS g FROM sh
+),
+banded AS MATERIALIZED (
+  {banded}
+),
+sized AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM banded)
+  WHERE bn <= {max_bucket}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sized a JOIN sized b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.s, sb.s))
+           / GREATEST(len(list_distinct(list_concat(sa.s, sb.s))), 1) AS jaccard
+  FROM pairs
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard_r FROM j WHERE jaccard >= {threshold}
+"""
 
 
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash(d)
+    return dedup.simhash(d, hasher="md5_60")
+
+
+def _simhash_sql(n_bits: int = 60) -> str:
+    terms = " + ".join(
+        f"CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {b}) & 1)) > len(hs)"
+        f" THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+        for b in range(n_bits)
+    )
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_transform({_NORM_TOKS}, t -> {_DUCK_H60 % 't'}) AS hs
+  FROM documents
+)
+SELECT id, CAST({terms} AS BIGINT) AS simhash FROM toks
+"""
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -196,6 +279,39 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(e, qvec, k=10, multiprobe_bits=2).select(
         "id", F.round("cosine", 6).alias("cosine_r")
     )
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 12, multiprobe_bits: int = 2, k: int = 10) -> str:
+    """Same deterministic hyperplanes as similarity.hyperplanes (seeded numpy)
+    as SQL literals; the Hamming-ball probe set (multiprobe ≤ 2 bit flips)
+    becomes bit_count(xor(sig, qsig)) <= 2."""
+    planes = similarity.hyperplanes(dim, n_planes)
+    sig_terms = " + ".join(
+        "CASE WHEN list_inner_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + f"]) > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sigs AS MATERIALIZED (
+  SELECT id, v, ({sig_terms}) AS sig FROM e
+),
+q AS (SELECT v AS qv, sig AS qs FROM sigs WHERE id = 0),
+hit AS (
+  SELECT s.id, s.v FROM sigs s, q WHERE bit_count(xor(s.sig, q.qs)) <= {multiprobe_bits}
+),
+scored AS (
+  SELECT id,
+         list_inner_product(v, qv)
+           / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) AS cosine
+  FROM hit, q
+)
+SELECT id, ROUND(cosine, 6) AS cosine_r FROM scored ORDER BY cosine DESC, id ASC LIMIT {k}
+"""
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -253,5 +369,7 @@ def ops_oracle_sql() -> dict:
         "doc_langid": _langid_sql(),
         "ann_bruteforce": SQL_ANN_BRUTEFORCE,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
-        # minhash_pairs / simhash / ann_lsh: rows-only (pytest oracles)
+        "minhash_pairs": _minhash_sql(),
+        "simhash": _simhash_sql(),
+        "ann_lsh": _ann_lsh_sql(),
     }

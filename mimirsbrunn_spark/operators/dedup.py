@@ -39,6 +39,36 @@ def normalized(col):
 
 
 # ---------------------------------------------------------------------------
+# hash families
+# ---------------------------------------------------------------------------
+# xxhash64: the production hash (JVM intrinsic, fastest).
+# md5_60:   60-bit hash from the md5 hex prefix — chosen because DuckDB can
+#           compute the identical value (('0x' || substr(md5(s),1,15))::BIGINT),
+#           making the minhash/simhash gate queries value-verifiable against a
+#           DuckDB oracle (CORRECTNESS gate). 60 bits keeps the value positive
+#           in a signed int64 on both engines (no ANSI overflow).
+
+
+def hash_col(col, hasher: str = "xxhash64"):
+    """64-bit (or 60-bit) integer hash of a string column."""
+    if hasher == "xxhash64":
+        return F.xxhash64(col)
+    if hasher == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hasher {hasher!r}")
+
+
+def hash_lambda_sql(hasher: str = "xxhash64") -> str:
+    """The same hash as a SQL-expression template over placeholder `%s`
+    (used inside F.expr transform lambdas)."""
+    if hasher == "xxhash64":
+        return "xxhash64(%s)"
+    if hasher == "md5_60":
+        return "cast(conv(substring(md5(%s), 1, 15), 16, 10) as bigint)"
+    raise ValueError(f"unknown hasher {hasher!r}")
+
+
+# ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
 
@@ -82,13 +112,16 @@ def shingles(text_col: str, n: int = 3):
     )
 
 
-def minhash_signature(shingle_col, k: int = 32):
-    """k minhashes: min over shingles of xxhash64(seed_i ⊕ shingle). One JVM
+def minhash_signature(shingle_col, k: int = 32, hasher: str = "xxhash64"):
+    """k minhashes: min over shingles of hash(seed_i ⊕ shingle). One JVM
     expression per hash — no UDF, no shuffle."""
     return F.array(
         *[
             F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)))
+                F.transform(
+                    shingle_col,
+                    lambda s, i=i: hash_col(F.concat(F.lit(f"mh{i}:"), s), hasher),
+                )
             )
             for i in range(k)
         ]
@@ -103,6 +136,7 @@ def minhash_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 64,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) + exact Jaccard over shingle sets.
 
@@ -114,7 +148,7 @@ def minhash_candidates(
     d = documents.select(
         F.col(id_col).alias("id"),
         shingles(text_col, shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    ).withColumn("sig", minhash_signature(F.col("sh"), k, hasher))
 
     # Band rows carry ONLY (id, band, bucket) — ~24 bytes/row. The shingle
     # arrays (KBs/doc) must NOT ride the bands×N explode through the bucket
@@ -128,14 +162,15 @@ def minhash_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        hash_col(
                             F.concat_ws(
                                 ",",
                                 *[
                                     F.element_at("sig", b * rows_per_band + r + 1)
                                     for r in range(rows_per_band)
                                 ],
-                            )
+                            ),
+                            hasher,
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -199,13 +234,19 @@ def _simhash_batch(it):
         yield pd.DataFrame({"id": pdf["id"], "simhash": out})
 
 
-def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit simhash per doc. Token hashing stays JVM-side (xxhash64 in a
-    transform); only the bit-vote reduction crosses into numpy via
+def simhash(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """64-bit simhash per doc. Token hashing stays JVM-side (a hash intrinsic
+    in a transform); only the bit-vote reduction crosses into numpy via
     mapInPandas (Arrow-batched, vectorized over the 64-bit axis)."""
+    h = hash_lambda_sql(hasher) % "t"
     toks = F.expr(
         f"transform(split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' '),"
-        " t -> xxhash64(t))"
+        f" t -> {h})"
     )
     d = documents.select(F.col(id_col).alias("id"), toks.alias("token_hashes"))
     return d.mapInPandas(_simhash_batch, schema="id long, simhash long")

@@ -90,8 +90,16 @@ def lsh_topk(
     Hamming distance ≤ multiprobe_bits), exact cosine inside."""
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) > 0))
+    # sequential left-to-right double sum — the same accumulation order as
+    # the engine-side fold (and DuckDB's list_inner_product), so the sign of
+    # a near-zero dot product can't disagree across engines
+    qsig = int(
+        sum(
+            (1 << i)
+            for i, p in enumerate(planes)
+            if sum(float(a) * float(b) for a, b in zip(query_vec, p)) > 0
+        )
+    )
     probes = {qsig}
     if multiprobe_bits >= 1:
         probes |= {qsig ^ (1 << i) for i in range(n_planes)}
