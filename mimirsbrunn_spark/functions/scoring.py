@@ -1,0 +1,45 @@
+"""Search scoring functions (G-family, SURVEY.md §2.8).
+
+G10: the combination minimum_should_match ladder behind every fuzzy search
+in the reference (/root/reference/libs/bragi/src/query.rs:346-376):
+``1<-1 3<-2 9<-4 20<25%`` — for a query with n optional token clauses, the
+spec of the LARGEST threshold strictly below n applies (Elasticsearch
+combination semantics); a negative spec means "n - |v| required", a percent
+spec means ``floor(n * pct)``.
+
+All pure column math — no UDF, broadcastable into any scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def msm_required(n_col):
+    """Required clause matches for ``n_col`` optional clauses under the
+    reference's empirical ladder (1→-1, 3→-2, 9→-4, 20→25%)."""
+    n = n_col.cast("long")
+    return (
+        F.when(n <= 1, n)
+        .when(n <= 3, n - 1)
+        .when(n <= 9, n - 2)
+        .when(n <= 20, n - 4)
+        .otherwise(F.floor(n * 0.25).cast("long"))
+    )
+
+
+def clause_overlap(query_tokens_col, doc_tokens_col):
+    """Number of query CLAUSES whose token appears in the document's token
+    set (duplicate query tokens count as separate clauses, as in a bool
+    query with repeated should terms)."""
+    return F.size(
+        F.filter(query_tokens_col, lambda t: F.array_contains(doc_tokens_col, t))
+    ).cast("long")
+
+
+def fuzzy_matches(query_tokens_col, doc_tokens_col):
+    """Boolean: does the document satisfy the minimum_should_match ladder
+    for this query? (the MatchType::Fuzzy acceptance test)"""
+    return clause_overlap(query_tokens_col, doc_tokens_col) >= msm_required(
+        F.size(query_tokens_col)
+    )

@@ -86,13 +86,46 @@ DEFAULT_SYNONYMS = {
 }
 
 
-def expand_synonyms(tokens_col, synonyms: dict | None = None) -> Column:
-    """Map each token through the synonym table (token-level T13)."""
+def _split_synonyms(synonyms: dict | None) -> tuple[dict, dict]:
+    """Partition pairs into token-level (single-word key AND value) and
+    string-level (either side multi-word) — a multi-word key can never match
+    a single token, and a multi-word value must go through tokenization."""
     syn = synonyms or DEFAULT_SYNONYMS
+    token_level = {k: v for k, v in syn.items() if " " not in k and " " not in v}
+    string_level = {k: v for k, v in syn.items() if " " in k or " " in v}
+    return token_level, string_level
+
+
+def apply_multiword_synonyms(text_col, synonyms: dict | None = None) -> Column:
+    """String-level synonym pass for multi-word pairs, applied BEFORE
+    tokenization: each key is replaced on word boundaries (the ES
+    multi-token synonym graph analog, rubber.rs:49-67). Longer keys run
+    first so 'gare sncf' wins over a hypothetical 'gare' key."""
+    _, string_level = _split_synonyms(synonyms)
+    out = text_col
+    for k in sorted(string_level, key=len, reverse=True):
+        out = F.regexp_replace(out, rf"\b{k}\b", string_level[k])
+    return out
+
+
+def expand_synonyms(tokens_col, synonyms: dict | None = None) -> Column:
+    """Token-level synonym map (single-word pairs only — multi-word pairs
+    are handled by apply_multiword_synonyms before tokenization)."""
+    token_level, _ = _split_synonyms(synonyms)
     mapping = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in syn]), F.array(*[F.lit(v) for v in syn.values()])
+        F.array(*[F.lit(k) for k in token_level]),
+        F.array(*[F.lit(v) for v in token_level.values()]),
     )
     return F.transform(tokens_col, lambda t: F.coalesce(mapping.getItem(t), t))
+
+
+def synonym_tokens(text_col, synonyms: dict | None = None) -> Column:
+    """Full T13 pipeline: multi-word string pass → tokenize → token map.
+    Token counts stay consistent because multi-word replacements are split
+    by the tokenizer, not injected into existing tokens."""
+    expanded = apply_multiword_synonyms(text_col, synonyms)
+    toks = F.split(F.trim(F.regexp_replace(expanded, r"\s+", " ")), " ")
+    return expand_synonyms(toks, synonyms)
 
 
 # T3: i18n label with language fallback (labels.rs:28-41,92-118)

@@ -442,6 +442,70 @@ FROM orders GROUP BY 1
 """
 
 
+# --- G10: minimum_should_match ladder (query.rs:346-376) ------------------
+# One query per ladder rung (n = 1 / 2 / 3 / 4 / 9 / 10 / 20 / 25 clauses;
+# duplicate tokens are separate clauses, so the high rungs still produce
+# matches against 2-token part names). Output is per-query: the clause
+# count, the ladder's required-match value, and how many parts pass — so
+# every rung's REQUIRED value is value-verified even when it admits no docs.
+
+MSM_QUERIES = [
+    ("q01", "red"),
+    ("q02", "red widget"),
+    ("q03", "red blue bolt"),
+    ("q04", "red widget blue bolt"),
+    ("q09", "small hot widget gear plate red blue bolt ring"),
+    ("q10", "red red red red red widget widget widget widget widget"),
+    ("q20", " ".join(["red"] * 10 + ["widget"] * 10)),
+    ("q25", " ".join(["red"] * 13 + ["widget"] * 12)),
+]
+
+
+def q_fuzzy_msm(spark, sf_dir):
+    from .functions.scoring import clause_overlap, msm_required
+
+    p = _t(spark, sf_dir, "part")
+    q = spark.createDataFrame(MSM_QUERIES, "qid string, qtext string").select(
+        "qid", F.split("qtext", " ").alias("qt")
+    )
+    j = p.select(F.split("p_name", " ").alias("dt")).crossJoin(F.broadcast(q))
+    scored = j.select(
+        "qid",
+        F.size("qt").cast("long").alias("n_tokens"),
+        msm_required(F.size("qt")).alias("required"),
+        clause_overlap(F.col("qt"), F.col("dt")).alias("ov"),
+    )
+    return scored.groupBy("qid").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("required").alias("required"),
+        F.sum(F.when(F.col("ov") >= F.col("required"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches"),
+    )
+
+
+_MSM_VALUES = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in MSM_QUERIES)
+
+SQL_FUZZY_MSM = f"""
+WITH q(qid, qtext) AS (VALUES {_MSM_VALUES}),
+qt AS (SELECT qid, string_split(qtext, ' ') AS t FROM q),
+x AS (
+  SELECT qid,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) <= 1 THEN CAST(len(t) AS BIGINT)
+              WHEN len(t) <= 3 THEN len(t) - 1
+              WHEN len(t) <= 9 THEN len(t) - 2
+              WHEN len(t) <= 20 THEN len(t) - 4
+              ELSE CAST(floor(len(t) * 0.25) AS BIGINT) END AS required,
+         CAST(len(list_filter(t, tok -> list_contains(string_split(p_name, ' '), tok))) AS BIGINT) AS ov
+  FROM qt, part
+)
+SELECT qid, MAX(n_tokens) AS n_tokens, MAX(required) AS required,
+       CAST(SUM(CASE WHEN ov >= required THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+FROM x GROUP BY qid
+"""
+
+
 def rel_queries() -> dict:
     return {
         "agg_pricing": q_agg_pricing,
@@ -460,6 +524,7 @@ def rel_queries() -> dict:
         "filter_page": q_filter_page,
         "array_collect": q_array_collect,
         "natural_sort": q_natural_sort_v2,
+        "fuzzy_msm": q_fuzzy_msm,
     }
 
 
@@ -481,6 +546,7 @@ def rel_oracle_sql() -> dict:
         "filter_page": SQL_FILTER_PAGE,
         "array_collect": SQL_ARRAY_COLLECT,
         "natural_sort": SQL_NATURAL_SORT,
+        "fuzzy_msm": SQL_FUZZY_MSM,
     }
 
 # --- O3: natural ("human") sort — "line 3" < "line 11"

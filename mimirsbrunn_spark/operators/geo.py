@@ -117,6 +117,106 @@ def spatial_join(
     return verified.filter("inside").drop("inside").dropDuplicates(["point_id", "poly_id"])
 
 
+# --- G5: polygon centroid (osm_utils.rs:58-68 make_centroid) --------------
+
+
+def centroid_cols(xs_col: str = "xs", ys_col: str = "ys"):
+    """Area-weighted polygon centroid (shoelace formula — the geo crate's
+    Centroid algorithm), as pure JVM column expressions. Returns
+    (cx, cy) Columns. Degenerate (zero-area) rings fall back to the vertex
+    mean, like geo's centroid of a collapsed polygon."""
+    n = f"size({xs_col})"
+    # next-vertex rotation: [x2..xn, x1]
+    xr = f"concat(slice({xs_col}, 2, {n} - 1), array(element_at({xs_col}, 1)))"
+    yr = f"concat(slice({ys_col}, 2, {n} - 1), array(element_at({ys_col}, 1)))"
+    cross = (
+        f"zip_with({xs_col}, {yr}, (a, b) -> a * b)"
+        f", zip_with({xr}, {ys_col}, (a, b) -> a * b)"
+    )
+    cross_sum = (
+        f"aggregate(zip_with({cross}, (u, v) -> u - v), cast(0.0 as double), (acc, t) -> acc + t)"
+    )
+    area2 = F.expr(cross_sum)  # 2*signed area
+    sx = F.expr(
+        f"aggregate(zip_with(zip_with({xs_col}, {xr}, (a, b) -> a + b),"
+        f" zip_with({cross}, (u, v) -> u - v), (s, c) -> s * c),"
+        " cast(0.0 as double), (acc, t) -> acc + t)"
+    )
+    sy = F.expr(
+        f"aggregate(zip_with(zip_with({ys_col}, {yr}, (a, b) -> a + b),"
+        f" zip_with({cross}, (u, v) -> u - v), (s, c) -> s * c),"
+        " cast(0.0 as double), (acc, t) -> acc + t)"
+    )
+    mean_x = F.expr(f"aggregate({xs_col}, cast(0.0 as double), (a, t) -> a + t) / {n}")
+    mean_y = F.expr(f"aggregate({ys_col}, cast(0.0 as double), (a, t) -> a + t) / {n}")
+    cx = F.when(F.abs(area2) < 1e-12, mean_x).otherwise(sx / (3 * area2))
+    cy = F.when(F.abs(area2) < 1e-12, mean_y).otherwise(sy / (3 * area2))
+    return cx, cy
+
+
+def with_centroid(polys: DataFrame, xs_col: str = "xs", ys_col: str = "ys") -> DataFrame:
+    cx, cy = centroid_cols(xs_col, ys_col)
+    return polys.withColumn("cx", cx).withColumn("cy", cy)
+
+
+# --- G6: way middle-node coord (osm_utils.rs:36-56 get_way_coord) ----------
+
+
+def way_middle_coord(nodes_xs_col, nodes_ys_col):
+    """The coord of the way's middle node (index n/2, 0-based — the
+    reference prefers a middle node so way ends near admin boundaries don't
+    misassign the street). Returns (x, y) Columns."""
+    idx = (F.size(nodes_xs_col) / 2).cast("int") + 1  # element_at is 1-based
+    return F.element_at(nodes_xs_col, idx), F.element_at(nodes_ys_col, idx)
+
+
+# --- G4: point↔boundary distance (admin_geofinder.rs:85-94 distance_2) ----
+
+
+def _boundary_dist_batch(it):
+    """Min euclidean distance from each point to the polygon's boundary
+    edges (clamped point-to-segment projection, vectorized over edges).
+    0.0 when the point lies inside (matching geo's euclidean_distance of a
+    contained point)."""
+    for pdf in it:
+        out = np.empty(len(pdf), dtype=np.float64)
+        for i, (px, py, xs, ys) in enumerate(
+            zip(pdf["x"], pdf["y"], pdf["xs"], pdf["ys"])
+        ):
+            xa = np.asarray(xs, dtype=np.float64)
+            ya = np.asarray(ys, dtype=np.float64)
+            xb = np.roll(xa, -1)
+            yb = np.roll(ya, -1)
+            crosses = ((ya > py) != (yb > py)) & (
+                px < (xb - xa) * (py - ya) / (yb - ya) + xa
+            )
+            if crosses.sum() % 2 == 1:  # inside
+                out[i] = 0.0
+                continue
+            dx, dy = xb - xa, yb - ya
+            seg2 = dx * dx + dy * dy
+            t = np.where(seg2 > 0, ((px - xa) * dx + (py - ya) * dy) / np.where(seg2 > 0, seg2, 1), 0.0)
+            t = np.clip(t, 0.0, 1.0)
+            qx, qy = xa + t * dx, ya + t * dy
+            out[i] = float(np.sqrt(np.min((px - qx) ** 2 + (py - qy) ** 2)))
+        yield pd.DataFrame(
+            {"point_id": pdf["point_id"], "poly_id": pdf["poly_id"], "boundary_dist": out}
+        )
+
+
+def point_boundary_distance(points: DataFrame, polys: DataFrame) -> DataFrame:
+    """(point_id, poly_id, boundary_dist) for every point×polygon pair the
+    caller provides (pre-filter with spatial_join / cell bucketing at scale;
+    the reference's R-tree distance_2 probes play the same role). Arrow-
+    batched numpy kernel — no per-vertex Python."""
+    pairs = points.select("point_id", "x", "y").crossJoin(
+        F.broadcast(polys.select("poly_id", "xs", "ys"))
+    )
+    return pairs.mapInPandas(
+        _boundary_dist_batch, schema="point_id long, poly_id long, boundary_dist double"
+    )
+
+
 def nearest_neighbor_join(
     probes: DataFrame,
     sites: DataFrame,

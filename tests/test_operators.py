@@ -156,3 +156,123 @@ def test_ivf_topk(emb):
     full = [r.id for r in similarity.ivf_topk(df, list(base[0]), cents, k=5, nprobe=4).collect()]
     brute = [r.id for r in similarity.brute_force_topk(df, list(base[0]), k=5).collect()]
     assert full == brute
+
+
+def test_msm_ladder(spark):
+    """G10: exact rung boundaries of the reference ladder 1<-1 3<-2 9<-4
+    20<25% (query.rs:346-376)."""
+    from mimirsbrunn_spark.functions.scoring import msm_required
+
+    df = spark.createDataFrame([(n,) for n in [0, 1, 2, 3, 4, 9, 10, 20, 21, 24, 25, 100]], "n int")
+    got = {r.n: r.req for r in df.select("n", msm_required(F.col("n")).alias("req")).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 2, 9: 7, 10: 6, 20: 16, 21: 5, 24: 6, 25: 6, 100: 25}
+
+
+def test_centroid_vs_numpy(spark):
+    """G5: shoelace centroid matches a numpy oracle; degenerate ring falls
+    back to vertex mean."""
+    import numpy as np
+
+    from mimirsbrunn_spark.operators.geo import with_centroid
+
+    def np_centroid(xs, ys):
+        xs, ys = np.asarray(xs, float), np.asarray(ys, float)
+        xr, yr = np.roll(xs, -1), np.roll(ys, -1)
+        cross = xs * yr - xr * ys
+        a2 = cross.sum()
+        if abs(a2) < 1e-12:
+            return xs.mean(), ys.mean()
+        return ((xs + xr) * cross).sum() / (3 * a2), ((ys + yr) * cross).sum() / (3 * a2)
+
+    rng = np.random.default_rng(3)
+    polys = []
+    for pid in range(20):
+        n = int(rng.integers(3, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.5, 3.0, n)
+        polys.append((pid, (r * np.cos(ang) + pid).tolist(), (r * np.sin(ang)).tolist()))
+    polys.append((99, [5.0, 5.0, 5.0], [1.0, 2.0, 3.0]))  # zero-area line
+    df = spark.createDataFrame(polys, "poly_id long, xs array<double>, ys array<double>")
+    got = {r.poly_id: (r.cx, r.cy) for r in with_centroid(df).collect()}
+    for pid, xs, ys in polys:
+        ex, ey = np_centroid(xs, ys)
+        assert abs(got[pid][0] - ex) < 1e-9 and abs(got[pid][1] - ey) < 1e-9, pid
+
+
+def test_way_middle_coord(spark):
+    from mimirsbrunn_spark.operators.geo import way_middle_coord
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 2.0], [10.0, 11.0, 12.0]),  # n=3 -> idx 1 (0-based)
+            (2, [0.0, 1.0, 2.0, 3.0], [10.0, 11.0, 12.0, 13.0]),  # n=4 -> idx 2
+            (3, [7.0], [70.0]),  # n=1 -> idx 0
+        ],
+        "way_id long, xs array<double>, ys array<double>",
+    )
+    mx, my = way_middle_coord(F.col("xs"), F.col("ys"))
+    got = {r.way_id: (r.mx, r.my) for r in df.select("way_id", mx.alias("mx"), my.alias("my")).collect()}
+    assert got == {1: (1.0, 11.0), 2: (2.0, 12.0), 3: (7.0, 70.0)}
+
+
+def test_point_boundary_distance_vs_numpy(spark):
+    """G4: boundary distance matches a numpy point-to-segment oracle;
+    contained points report 0 (geo euclidean_distance semantics)."""
+    import numpy as np
+
+    from mimirsbrunn_spark.operators.geo import point_boundary_distance
+
+    square = (1, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0])
+    polys = spark.createDataFrame([square], "poly_id long, xs array<double>, ys array<double>")
+    pts = [
+        (1, 2.0, 2.0, 0.0),   # inside
+        (2, 6.0, 2.0, 2.0),   # right of edge x=4
+        (3, 5.0, 5.0, 2**0.5),  # off the corner (4,4)
+        (4, 2.0, -3.0, 3.0),  # below edge y=0
+        (5, 4.0, 2.0, 0.0),   # near-on the boundary
+    ]
+    points = spark.createDataFrame(
+        [(i, x, y) for i, x, y, _ in pts], "point_id long, x double, y double"
+    )
+    got = {r.point_id: r.boundary_dist for r in point_boundary_distance(points, polys).collect()}
+    for i, _, _, want in pts:
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+
+def test_member_resolution_closure(spark):
+    """S6/J8: relation->way->node closure on a hand-built linked fixture
+    (street.rs:163-199 semantics: skip missing members, middle-node coord)."""
+    from mimirsbrunn_spark.operators import members
+
+    nodes = spark.createDataFrame(
+        [(n, float(n), float(n * 10)) for n in range(1, 8)],
+        "node_id long, x double, y double",
+    )
+    ways = spark.createDataFrame(
+        [
+            (100, [1, 2, 3]),       # fully resolvable
+            (101, [4, 5, 6, 7]),    # fully resolvable, even count
+            (102, [6, 99]),         # node 99 missing -> partial
+            (103, [42]),            # nothing resolvable -> drops out
+        ],
+        "way_id long, node_ids array<long>",
+    )
+    relations = spark.createDataFrame(
+        [(900, [100, 102, 555]), (901, [101])],  # way 555 missing
+        "rel_id long, way_ids array<long>",
+    )
+
+    needed_ways, needed_nodes = members.dependency_closure(relations, ways, nodes)
+    assert {r.way_id for r in needed_ways.collect()} == {100, 101, 102}
+    assert {r.node_id for r in needed_nodes.collect()} == {1, 2, 3, 4, 5, 6, 7}
+
+    resolved = {r.way_id: (r.xs, r.ys) for r in members.resolve_way_nodes(ways, nodes).collect()}
+    assert resolved[100] == ([1.0, 2.0, 3.0], [10.0, 20.0, 30.0])  # node order kept
+    assert resolved[101] == ([4.0, 5.0, 6.0, 7.0], [40.0, 50.0, 60.0, 70.0])
+    assert resolved[102] == ([6.0], [60.0])  # missing node skipped
+    assert 103 not in resolved
+
+    got = {(r.rel_id, r.way_id): (r.x, r.y) for r in
+           members.street_coords(relations, ways, nodes).collect()}
+    # way 100: middle idx 3//2=1 -> node 2; way 101: idx 2 -> node 6; way 102: idx 0 -> node 6
+    assert got == {(900, 100): (2.0, 20.0), (900, 102): (6.0, 60.0), (901, 101): (6.0, 60.0)}

@@ -77,3 +77,25 @@ def test_natural_sortkey(spark):
         for r in df.orderBy(S.natural_sortkey_expr("s")).collect()
     ]
     assert got == ["Line 2", "line 3", "line 11"]
+
+
+def test_multiword_synonyms(spark):
+    """Multi-word keys ('gare sncf'→'gare') and multi-word replacements
+    ('cc'→'centre commercial') must both work, with token counts consistent
+    (regression: token-level map could never match a spaced key)."""
+    from mimirsbrunn_spark.functions.strings import synonym_tokens
+
+    df = spark.createDataFrame(
+        [
+            ("gare sncf de lyon",),
+            ("cc des halles",),
+            ("bd saint germain",),
+            ("la gare sncf",),
+        ],
+        "s string",
+    )
+    got = [r.t for r in df.select(synonym_tokens(F.col("s")).alias("t")).collect()]
+    assert got[0] == ["gare", "de", "lyon"]
+    assert got[1] == ["centre", "commercial", "des", "halles"]
+    assert got[2] == ["boulevard", "saint", "germain"]
+    assert got[3] == ["la", "gare"]
