@@ -67,6 +67,7 @@ def run_rollup_job(
     fail_before_lineage: int | None = None,
     config: EngineConfig | None = None,
     retention_now_epoch: int | None = None,
+    table_factory=None,
 ) -> dict:
     """Run (or resume) the rollup job. Returns a summary dict.
 
@@ -75,9 +76,14 @@ def run_rollup_job(
     enables the retention stage with that clock (kept explicit/deterministic
     rather than wall-clock so tests and backfills are reproducible)."""
     cfg = config or EngineConfig()
+    # table_factory: name -> TableIO backend (tableio.TableIO protocol).
+    # Default = the sandbox SnapshotTable format; pass
+    # ``lambda n: IcebergTable(spark, f"cat.db.{n}", ...)`` to publish to a
+    # real Iceberg catalog — the job body is backend-agnostic.
+    tf = table_factory or (lambda name: SnapshotTable(f"{out_dir}/{name}"))
     lineage = Lineage(f"{out_dir}/lineage")
     metrics = Metrics(f"{out_dir}/metrics")
-    series_tbl = SnapshotTable(f"{out_dir}/series_1m")
+    series_tbl = tf("series_1m")
 
     pages = read_pages(spark, pages_path)
     days = [
@@ -108,11 +114,10 @@ def run_rollup_job(
             # crash INSIDE the commit→lineage window (the non-idempotent
             # window the drop above protects; exercised by the resume tests)
             raise SimulatedFailure(f"injected failure before lineage, day={day}")
-        # Day row count from manifest footer stats (no re-scan): after the
-        # drop above, every file carrying this day's partition value belongs
-        # to the commit we just made.
-        snap = series_tbl.snapshot(sid)
-        day_rows = sum(r for f, r in snap.file_rows.items() if snap.partitions.get(f) == day)
+        # Day row count from table metadata (manifest footer stats / Iceberg
+        # .partitions view — no data re-scan): after the drop above, the
+        # day's partition holds exactly the commit we just made.
+        day_rows = series_tbl.partition_row_count(day)
         # Checksum over the COMMITTED rows (tiny rolled-up day, manifest-
         # pruned read) rather than re-running the raw pages aggregation.
         lineage.record(
@@ -138,14 +143,14 @@ def run_rollup_job(
     tier_dfs = tiers.cascade(base)
     out_tables = {}
     for tier in ("1h", "1d", "30d"):
-        tbl = SnapshotTable(f"{out_dir}/rollup_{tier}")
+        tbl = tf(f"rollup_{tier}")
         tbl.commit(tier_dfs[tier], mode="replace", meta={"tier": tier})
         out_tables[f"rollup_{tier}"] = tbl
         hs = tiers.host_series(tier_dfs[tier])
-        gf_tbl = SnapshotTable(f"{out_dir}/gapfill_{tier}")
+        gf_tbl = tf(f"gapfill_{tier}")
         gf_tbl.commit(gapfill.gapfill(hs, tier), mode="replace", meta={"tier": tier})
         out_tables[f"gapfill_{tier}"] = gf_tbl
-        ch_tbl = SnapshotTable(f"{out_dir}/chunks_{tier}")
+        ch_tbl = tf(f"chunks_{tier}")
         ch_tbl.commit(codecs.encode_chunks(hs, tier), mode="replace", meta={"tier": tier})
         out_tables[f"chunks_{tier}"] = ch_tbl
     metrics.record(spark, job_id, stage="derived", kv={"seconds": time.time() - t0})

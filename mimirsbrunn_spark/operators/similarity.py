@@ -127,13 +127,16 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 256,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate (id_a < id_b, cosine ≥ threshold) via LSH bucket
     self-join + exact cosine verify. Oversized buckets are dropped (capped
-    fan-out — log upstream if coverage accounting is needed)."""
+    fan-out — log upstream if coverage accounting is needed). Pass ``dim``
+    explicitly at scale (avoids the .first() probe)."""
     from pyspark.sql import Window
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
     b = embeddings.select(
         F.col(id_col).alias("id"),
@@ -150,6 +153,129 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", cosine_col(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# materialized bucket indexes — the 100 TB probe path
+# ---------------------------------------------------------------------------
+# Signatures/cluster assignments are computed ONCE at build time and
+# persisted into a SnapshotTable partitioned by the bucket key; a probe then
+# reads ONLY the matching bucket files (manifest-level pruning — no
+# signature recomputation, no full scan). This is the Iceberg
+# bucket-partitioned ANN table the per-query functions above approximate.
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    table,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> int:
+    """Materialize (id, embedding, sig) partitioned by sig. The plane seed
+    and count ride in the snapshot meta so probes re-derive the exact
+    hyperplanes. Pass ``dim`` explicitly at scale (avoids a .first() probe)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    df = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    return table.commit(
+        df,
+        mode="replace",
+        partition_by="sig",
+        meta={"index": "lsh", "n_planes": n_planes, "seed": seed, "dim": dim},
+    )
+
+
+def lsh_topk_indexed(
+    spark,
+    table,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k served FROM the materialized index: the probe's
+    Hamming ball is resolved to partition values and only those bucket
+    files reach the scan (assert via df.inputFiles() in tests)."""
+    snap = table.snapshot(table.current_snapshot_id())
+    meta = snap.meta
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    qsig = int(
+        sum(
+            (1 << i)
+            for i, p in enumerate(planes)
+            if sum(float(a) * float(b) for a, b in zip(query_vec, p)) > 0
+        )
+    )
+    n_planes = meta["n_planes"]
+    probes = {qsig}
+    if multiprobe_bits >= 1:
+        probes |= {qsig ^ (1 << i) for i in range(n_planes)}
+    if multiprobe_bits >= 2:
+        probes |= {
+            qsig ^ (1 << i) ^ (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        }
+    hit = table.read(spark, partition_values={str(s) for s in probes})
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        hit.select(F.col("id"), cosine_col(F.col("v"), q))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    table,
+    k_clusters: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Train the coarse quantizer and materialize (id, embedding, cluster)
+    partitioned by cluster; centroids ride in the snapshot meta."""
+    centroids = ivf_train(embeddings, k=k_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    dists = _centroid_dists(F.col(vec_col), centroids)
+    df = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.array_position(dists, F.array_min(dists)).alias("cluster"),
+    )
+    return table.commit(
+        df,
+        mode="replace",
+        partition_by="cluster",
+        meta={"index": "ivf", "centroids": [[float(x) for x in c] for c in centroids]},
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    table,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF probe from the materialized index: only the nprobe nearest
+    clusters' files reach the scan."""
+    snap = table.snapshot(table.current_snapshot_id())
+    centroids = np.asarray(snap.meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")
+    probes = {str(int(i) + 1) for i in order[:nprobe]}  # 1-based like array_position
+    hit = table.read(spark, partition_values=probes)
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        hit.select(F.col("id"), cosine_col(F.col("v"), qcol))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
     )
 
 

@@ -1,0 +1,125 @@
+"""TableIO: the storage-backend seam between the engine and its table format.
+
+The engine's jobs (rollup_job, maintenance_job, streaming sink) talk to
+tables through this narrow protocol. Two implementations:
+
+- ``SnapshotTable`` (tables.py): the self-contained snapshot format this
+  sandbox ships (no Iceberg jars available) — manifest JSON + immutable
+  parquet file sets, atomic pointer swap.
+- ``IcebergTable`` (here): the deploy-time adapter over a real Iceberg
+  catalog — ``df.writeTo(ident).append()`` / ``createOrReplace()``,
+  snapshot-id time travel via the read option, metadata DELETEs for
+  partition drops. It uses only public Spark/Iceberg SQL surface; it needs
+  a session with an Iceberg catalog configured (not available in this
+  sandbox, so tests drive it against a recording mock).
+
+The protocol is duck-typed (python Protocol): SnapshotTable already
+conforms; nothing imports Iceberg at module load.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol, runtime_checkable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@runtime_checkable
+class TableIO(Protocol):
+    """What the engine's jobs need from a table backend."""
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        meta: dict | None = None,
+        partition_by: str | None = None,
+    ) -> int: ...
+
+    def read(self, spark: SparkSession, **kw) -> DataFrame: ...
+
+    def read_at(self, spark: SparkSession, snapshot_id: int, **kw) -> DataFrame: ...
+
+    def exists(self) -> bool: ...
+
+    def drop_partition_values(self, values, meta: dict | None = None) -> int | None: ...
+
+    def partition_row_count(self, value: str) -> int: ...
+
+
+class IcebergTable:
+    """Iceberg-catalog adapter. ``ident`` is the catalog table identifier
+    (e.g. ``prod.db.series_1m``); ``partition_col`` names the Iceberg
+    partition column (declared at table creation).
+
+    Snapshot ids come from the table's ``.snapshots`` metadata view;
+    ``read_at`` uses the documented ``snapshot-id`` read option. Partition
+    drops are ``DELETE WHERE col IN (...)`` — metadata-only in Iceberg when
+    the predicate aligns with partition boundaries. ``partition_row_count``
+    reads the ``.partitions`` metadata view (record_count), not the data."""
+
+    def __init__(self, spark: SparkSession, ident: str, partition_col: str | None = None):
+        self.spark = spark
+        self.ident = ident
+        self.partition_col = partition_col
+
+    # -- TableIO ------------------------------------------------------------
+
+    def commit(self, df, mode="append", meta=None, partition_by=None, **_):
+        assert mode in ("append", "replace")
+        writer = df.writeTo(self.ident)
+        if partition_by:
+            try:
+                from pyspark.sql import functions as F
+
+                part_col = F.col(partition_by)
+            except Exception:  # no active session (mock-driven unit tests)
+                part_col = partition_by
+            writer = writer.partitionedBy(part_col)
+        for k, v in (meta or {}).items():
+            writer = writer.tableProperty(f"engine.meta.{k}", str(v))
+        if mode == "replace":
+            writer.createOrReplace()
+        elif not self.exists():
+            writer.create()
+        else:
+            writer.append()
+        return self.current_snapshot_id()
+
+    def read(self, spark=None, **_):
+        return (spark or self.spark).read.table(self.ident)
+
+    def read_at(self, spark=None, snapshot_id=None, **_):
+        return (
+            (spark or self.spark)
+            .read.option("snapshot-id", snapshot_id)
+            .table(self.ident)
+        )
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.ident)
+
+    def current_snapshot_id(self) -> int | None:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.ident}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else None
+
+    def drop_partition_values(self, values, meta=None) -> int | None:
+        if not self.exists() or not values:
+            return None
+        col = self.partition_col
+        if col is None:
+            raise ValueError("drop_partition_values needs partition_col")
+        vals = ", ".join(f"'{v}'" for v in sorted(values))
+        self.spark.sql(f"DELETE FROM {self.ident} WHERE CAST({col} AS STRING) IN ({vals})")
+        return self.current_snapshot_id()
+
+    def partition_row_count(self, value: str) -> int:
+        col = self.partition_col
+        rows = self.spark.sql(
+            f"SELECT COALESCE(SUM(record_count), 0) FROM {self.ident}.partitions "
+            f"WHERE CAST(partition.{col} AS STRING) = '{value}'"
+        ).collect()
+        return int(rows[0][0] or 0)

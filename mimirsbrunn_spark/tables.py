@@ -241,11 +241,12 @@ class SnapshotTable:
         spark: SparkSession,
         partition_min: str | None = None,
         partition_max: str | None = None,
+        partition_values: set[str] | None = None,
     ) -> DataFrame:
         sid = self.current_snapshot_id()
         if sid is None:
             raise FileNotFoundError(f"table {self.path} has no snapshot")
-        return self.read_at(spark, sid, partition_min, partition_max)
+        return self.read_at(spark, sid, partition_min, partition_max, partition_values)
 
     def read_at(
         self,
@@ -253,18 +254,22 @@ class SnapshotTable:
         snapshot_id: int,
         partition_min: str | None = None,
         partition_max: str | None = None,
+        partition_values: set[str] | None = None,
     ) -> DataFrame:
         """Read a snapshot; optional manifest-level partition pruning — only
         files whose partition value falls in [partition_min, partition_max]
-        are handed to the scan (no file listing, no footer reads for pruned
-        files)."""
+        (range) or in ``partition_values`` (discrete set — the bucket-probe
+        path) are handed to the scan (no file listing, no footer reads for
+        pruned files)."""
         snap = self.snapshot(snapshot_id)
         files = snap.files
-        if partition_min is not None or partition_max is not None:
+        if partition_min is not None or partition_max is not None or partition_values is not None:
             def ok(f):
                 v = snap.partitions.get(f, "")
                 if v == "":
                     return True
+                if partition_values is not None and v not in partition_values:
+                    return False
                 return (partition_min is None or v >= partition_min) and (
                     partition_max is None or v <= partition_max
                 )
@@ -287,6 +292,13 @@ class SnapshotTable:
 
     def exists(self) -> bool:
         return self.current_snapshot_id() is not None
+
+    def partition_row_count(self, value: str) -> int:
+        """Rows in the given partition of the current snapshot — pure
+        manifest arithmetic over the per-file footer stats (the Iceberg
+        .partitions-metadata-view analog)."""
+        snap = self.snapshot(self.current_snapshot_id())
+        return sum(r for f, r in snap.file_rows.items() if snap.partitions.get(f) == value)
 
 
 # ---------------------------------------------------------------------------

@@ -276,3 +276,54 @@ def test_member_resolution_closure(spark):
            members.street_coords(relations, ways, nodes).collect()}
     # way 100: middle idx 3//2=1 -> node 2; way 101: idx 2 -> node 6; way 102: idx 0 -> node 6
     assert got == {(900, 100): (2.0, 20.0), (900, 102): (6.0, 60.0), (901, 101): (6.0, 60.0)}
+
+
+def test_materialized_lsh_ivf_probe(spark, tmp_path):
+    """Materialized ANN indexes: probe results identical to the per-query
+    functions, and the probe's scan touches ONLY matching bucket files
+    (manifest pruning asserted via inputFiles)."""
+    from mimirsbrunn_spark.tables import SnapshotTable
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    # LSH
+    lsh_tbl = SnapshotTable(str(tmp_path / "lsh_idx"))
+    similarity.build_lsh_index(e, lsh_tbl, dim=len(qvec))
+    got = similarity.lsh_topk_indexed(spark, lsh_tbl, qvec, k=10, multiprobe_bits=2)
+    want = similarity.lsh_topk(e, qvec, k=10, multiprobe_bits=2)
+    assert [(r.id, round(r.cosine, 9)) for r in got.collect()] == [
+        (r.id, round(r.cosine, 9)) for r in want.collect()
+    ]
+    snap = lsh_tbl.snapshot(lsh_tbl.current_snapshot_id())
+    def _plain(files):
+        return [f[7:] if f.startswith("file://") else f for f in files]
+
+    touched = {snap.partitions[f] for f in _plain(got.inputFiles()) if f in snap.partitions}
+    all_parts = {v for v in snap.partitions.values() if v}
+    qs = sorted(touched | all_parts)  # noqa: F841 (debug aid)
+    assert touched  # something was read
+    assert touched < all_parts  # strict subset: pruning actually happened
+    # every touched bucket is inside the Hamming-2 ball of the query sig
+    meta = snap.meta
+    planes = similarity.hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    qsig = sum(
+        (1 << i)
+        for i, p in enumerate(planes)
+        if sum(float(a) * float(b) for a, b in zip(qvec, p)) > 0
+    )
+    assert all(bin(int(t) ^ qsig).count("1") <= 2 for t in touched)
+
+    # IVF
+    ivf_tbl = SnapshotTable(str(tmp_path / "ivf_idx"))
+    similarity.build_ivf_index(e, ivf_tbl, k_clusters=8, iters=3)
+    got_ivf = similarity.ivf_topk_indexed(spark, ivf_tbl, qvec, k=10, nprobe=3)
+    cents = similarity.ivf_train(e, k=8, iters=3)
+    want_ivf = similarity.ivf_topk(e, qvec, cents, k=10, nprobe=3)
+    assert [(r.id, round(r.cosine, 9)) for r in got_ivf.collect()] == [
+        (r.id, round(r.cosine, 9)) for r in want_ivf.collect()
+    ]
+    snap_i = ivf_tbl.snapshot(ivf_tbl.current_snapshot_id())
+    touched_i = {snap_i.partitions[f] for f in _plain(got_ivf.inputFiles()) if f in snap_i.partitions}
+    all_i = {v for v in snap_i.partitions.values() if v}
+    assert touched_i and len(touched_i) <= 3 and touched_i < all_i
