@@ -37,6 +37,24 @@ def clause_overlap(query_tokens_col, doc_tokens_col):
     ).cast("long")
 
 
+def zoom_ratio(radius_col, min_radius: float, max_radius: float):
+    """G9: zoom-ratio linear interpolation parameter
+    (query.rs:253-295): clamp the proximity radius into [min, max], then
+    ``(ln1p(r) - ln1p(min)) / (ln1p(max) - ln1p(min))`` — 0 at min zoom,
+    1 at max."""
+    import math
+
+    r = F.least(F.greatest(radius_col.cast("double"), F.lit(float(min_radius))), F.lit(float(max_radius)))
+    lo, hi = math.log1p(min_radius), math.log1p(max_radius)
+    return (F.log1p(r) - F.lit(lo)) / F.lit(hi - lo)
+
+
+def blend_weight(zoom_col, min_weight, max_weight):
+    """G9: the (1-z)*min + z*max linear combination applied to each weight
+    parameter (admin / factor / missing in the reference)."""
+    return (1 - zoom_col) * F.lit(float(min_weight)) + zoom_col * F.lit(float(max_weight))
+
+
 def fuzzy_matches(query_tokens_col, doc_tokens_col):
     """Boolean: does the document satisfy the minimum_should_match ladder
     for this query? (the MatchType::Fuzzy acceptance test)"""

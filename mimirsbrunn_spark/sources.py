@@ -70,6 +70,112 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, int]:
     return good, bad
 
 
+# --- S10: GTFS stops.txt (stops2mimir.rs:83-93,149-156) --------------------
+
+GTFS_STOPS_SCHEMA = (
+    "stop_id string, stop_lat double, stop_lon double, stop_name string, "
+    "location_type int, visible int, parent_station string"
+)
+
+
+def read_gtfs_stops(spark: SparkSession, path: str) -> DataFrame:
+    """Typed GTFS stops scan (S10). location_type: 0/null = stop point,
+    1 = stop area; ``visible`` and ``parent_station`` optional."""
+    return read_csv(spark, path, GTFS_STOPS_SCHEMA, header=True)
+
+
+def gtfs_stop_areas(stops: DataFrame) -> DataFrame:
+    """Stop areas + their stop-point counts (the nb_stop_points weight input,
+    stops2mimir.rs:94-117): children counted by parent_station, left join so
+    childless areas keep count 0."""
+    areas = stops.filter(F.col("location_type") == 1)
+    points = stops.filter(
+        (F.col("location_type").isNull() | (F.col("location_type") == 0))
+        & F.col("parent_station").isNotNull()
+    )
+    counts = points.groupBy(F.col("parent_station").alias("stop_id")).agg(
+        F.count(F.lit(1)).alias("nb_stop_points")
+    )
+    return areas.join(counts, "stop_id", "left").withColumn(
+        "nb_stop_points", F.coalesce("nb_stop_points", F.lit(0))
+    )
+
+
+# --- S9: NTFS multi-CSV relational scan (ntfs2mimir.rs:201, the
+#     transit_model linked-CSV dir) ----------------------------------------
+
+NTFS_SCHEMAS = {
+    "stops": (
+        "stop_id string, stop_name string, stop_lat double, stop_lon double, "
+        "location_type int, parent_station string"
+    ),
+    "lines": "line_id string, line_name string, commercial_mode_id string",
+    "routes": "route_id string, route_name string, line_id string",
+    "commercial_modes": "commercial_mode_id string, commercial_mode_name string",
+}
+
+
+def read_ntfs(spark: SparkSession, ntfs_dir: str) -> dict[str, DataFrame]:
+    """Read an NTFS directory as a relational model (S9): one typed
+    DataFrame per linked CSV present (missing optional files are simply
+    absent from the dict, like transit_model's optional collections)."""
+    import os
+
+    model = {}
+    for name, schema in NTFS_SCHEMAS.items():
+        p = os.path.join(ntfs_dir, f"{name}.txt")
+        if os.path.exists(p):
+            model[name] = read_csv(spark, p, schema, header=True)
+    return model
+
+
+def ntfs_stop_areas(model: dict[str, DataFrame]) -> DataFrame:
+    """Stop areas + stop-point counts from the linked stops collection
+    (the nb_stop_points map, ntfs2mimir.rs:203-215)."""
+    return gtfs_stop_areas(model["stops"].withColumn("visible", F.lit(1))).drop("visible")
+
+
+def ntfs_lines_with_modes(model: dict[str, DataFrame]) -> DataFrame:
+    """Lines resolved to their commercial mode names via the linked
+    commercial_modes collection (the mimir::CommercialMode build,
+    ntfs2mimir.rs:103-110); routes resolve to lines the same way. Mode
+    tables are tiny → broadcast."""
+    lines = model["lines"].join(
+        F.broadcast(model["commercial_modes"]), "commercial_mode_id", "left"
+    )
+    if "routes" in model:
+        return model["routes"].join(
+            F.broadcast(lines.select("line_id", "line_name", "commercial_mode_name")),
+            "line_id",
+            "left",
+        )
+    return lines
+
+
+# --- S11: navitia .poi file scan (poi2mimir.rs:150-170) --------------------
+
+POI_SCHEMA = (
+    "poi_id string, poi_type_id string, poi_name string, lat double, lon double, "
+    "visible int, weight int"
+)
+POI_TYPE_SCHEMA = "poi_type_id string, poi_type_name string"
+
+
+def read_navitia_poi(spark: SparkSession, poi_dir: str) -> DataFrame:
+    """navitia .poi model: poi.txt + poi_type.txt (';'-separated, headered),
+    joined so each POI carries its resolved type name (the NavitiaModel
+    try_from_path analog). Types are tiny → broadcast."""
+    import os
+
+    pois = read_csv(spark, os.path.join(poi_dir, "poi.txt"), POI_SCHEMA, header=True, sep=";")
+    types = read_csv(
+        spark, os.path.join(poi_dir, "poi_type.txt"), POI_TYPE_SCHEMA, header=True, sep=";"
+    )
+    good_p, _ = split_corrupt(pois)
+    good_t, _ = split_corrupt(types)
+    return good_p.join(F.broadcast(good_t), "poi_type_id", "left")
+
+
 def write_with_error_budget(
     df: DataFrame,
     path: str,
