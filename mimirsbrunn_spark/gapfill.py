@@ -60,12 +60,18 @@ def gapfill(
     by: tuple[str, ...] = ("host",),
 ) -> DataFrame:
     """Long-format gap-filled series:
-    *by, bucket_ts, metric, value_locf, value_linear, is_filled."""
-    sp = spine(series_df, tier, by)
-    joined = sp.join(series_df, [*by, "bucket_ts"], "left")
+    *by, bucket_ts, metric, value_locf, value_linear, is_filled.
 
-    # long format: one row per (group, bucket, metric)
-    stacked = joined.select(
+    Shuffle shape: the spine is NOT joined to the series (a join would
+    shuffle the full stacked data once for the join keys and again for the
+    window). Instead observed rows and null-valued spine rows are UNIONed
+    (narrow) and deduplicated inside the same window sort that computes
+    locf/linear — one Exchange of the stacked data total, plus the tiny
+    bounds aggregate."""
+    sp = spine(series_df, tier, by)
+
+    # observed rows, long format: one row per (group, bucket, metric)
+    obs = series_df.select(
         *by,
         "bucket_ts",
         F.expr(
@@ -74,6 +80,28 @@ def gapfill(
                 args=", ".join(f"'{m}', cast({m} as double)" for m in metrics),
             )
         ).alias("metric", "value"),
+        F.lit(1).alias("_obs"),
+    )
+    # spine rows: null value for every metric
+    spn = sp.select(
+        *by,
+        "bucket_ts",
+        F.explode(F.array(*[F.lit(m) for m in metrics])).alias("metric"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("_obs"),
+    )
+    unioned = obs.unionByName(spn)
+
+    # dedup: where a bucket has both an observed and a spine row, the spine
+    # row (sorted after via _obs desc) sees its own bucket_ts as lag() and
+    # drops — same partitioning as the fill windows, so no extra Exchange.
+    w_dedup = Window.partitionBy(*by, "metric").orderBy(
+        F.col("bucket_ts"), F.col("_obs").desc()
+    )
+    stacked = (
+        unioned.withColumn("_dup", F.lag("bucket_ts").over(w_dedup) == F.col("bucket_ts"))
+        .filter(~F.coalesce(F.col("_dup"), F.lit(False)))
+        .drop("_dup", "_obs")
     )
 
     w = Window.partitionBy(*by, "metric").orderBy("bucket_ts")
