@@ -506,6 +506,76 @@ FROM x GROUP BY qid
 """
 
 
+# --- A6: weight inheritance (street.rs:309-318 compute_street_weight) -----
+# Suppliers ("streets") inherit the weight of their nation's "city admin"
+# (max customer balance per even-keyed nation); no city admin -> own weight.
+
+
+def q_weight_inherit(spark, sf_dir):
+    from .operators.weights import inherit_city_weight
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("city_key"),
+        (F.col("s_acctbal").cast("double") / 1000.0).alias("weight"),
+    )
+    adm = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("city_key"))
+        .agg(F.max(F.col("c_acctbal").cast("double")).alias("weight"))
+        .withColumn("is_city", F.col("city_key") % 2 == 0)
+    )
+    out = inherit_city_weight(s, adm, "city_key")
+    return out.select("s_suppkey", F.round("weight", 6).alias("weight_r"))
+
+
+SQL_WEIGHT_INHERIT = """
+WITH adm AS (
+  SELECT c_nationkey AS k, MAX(CAST(c_acctbal AS DOUBLE)) AS aw
+  FROM customer GROUP BY 1 HAVING k % 2 = 0
+)
+SELECT s_suppkey,
+       ROUND(COALESCE(aw, CAST(s_acctbal AS DOUBLE) / 1000.0, 0.0), 6) AS weight_r
+FROM supplier LEFT JOIN adm ON s_nationkey = k
+"""
+
+
+# --- A8: zips-at-max-level (utils.rs:37-53) -------------------------------
+# Entity = customer; level = order year; "zips" = clerks of finished orders.
+# The highest year with any finished order contributes ALL its clerks.
+
+
+def q_zips_max_level(spark, sf_dir):
+    from .operators.weights import zips_at_max_level
+
+    o = _t(spark, sf_dir, "orders")
+    rows = o.groupBy(
+        F.col("o_custkey").alias("entity_id"),
+        F.year("o_orderdate").alias("level"),
+    ).agg(
+        F.collect_list(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_clerk"))
+        ).alias("zip_codes")
+    )
+    out = zips_at_max_level(rows)
+    return out.select("entity_id", F.array_join("zips", ";").alias("zips_joined"))
+
+
+SQL_ZIPS_MAX_LEVEL = """
+WITH rows_ AS (
+  SELECT o_custkey AS e, year(o_orderdate) AS lvl,
+         list(o_clerk) FILTER (WHERE o_orderstatus = 'F') AS z
+  FROM orders GROUP BY 1, 2
+),
+has AS (SELECT * FROM rows_ WHERE len(z) > 0),
+m AS (SELECT e, MAX(lvl) AS ml FROM has GROUP BY 1)
+SELECT has.e AS entity_id,
+       array_to_string(list_sort(flatten(list(z))), ';') AS zips_joined
+FROM has JOIN m ON has.e = m.e AND has.lvl = m.ml
+GROUP BY 1
+"""
+
+
 def rel_queries() -> dict:
     return {
         "agg_pricing": q_agg_pricing,
@@ -525,6 +595,8 @@ def rel_queries() -> dict:
         "array_collect": q_array_collect,
         "natural_sort": q_natural_sort_v2,
         "fuzzy_msm": q_fuzzy_msm,
+        "weight_inherit": q_weight_inherit,
+        "zips_max_level": q_zips_max_level,
     }
 
 
@@ -547,6 +619,8 @@ def rel_oracle_sql() -> dict:
         "array_collect": SQL_ARRAY_COLLECT,
         "natural_sort": SQL_NATURAL_SORT,
         "fuzzy_msm": SQL_FUZZY_MSM,
+        "weight_inherit": SQL_WEIGHT_INHERIT,
+        "zips_max_level": SQL_ZIPS_MAX_LEVEL,
     }
 
 # --- O3: natural ("human") sort — "line 3" < "line 11"
