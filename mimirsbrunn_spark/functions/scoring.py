@@ -55,6 +55,35 @@ def blend_weight(zoom_col, min_weight, max_weight):
     return (1 - zoom_col) * F.lit(float(min_weight)) + zoom_col * F.lit(float(max_weight))
 
 
+def field_value_factor(weight_col, factor: float = 1.0, missing: float = 0.0, modifier: str | None = None):
+    """G8: ES field_value_factor — coalesce(weight, missing) * factor, with
+    an optional 'log1p' modifier (query.rs:154-157)."""
+    v = F.coalesce(weight_col.cast("double"), F.lit(float(missing))) * F.lit(float(factor))
+    if modifier == "log1p":
+        return F.log1p(v)
+    if modifier is not None:
+        raise ValueError(f"unknown modifier {modifier!r}")
+    return v
+
+
+def importance_score(
+    doc_type_col,
+    weight_col,
+    type_weights: dict[str, float],
+    factor: float = 1.0,
+    missing: float = 0.0,
+    modifier: str | None = None,
+):
+    """G12: the function_score importance blend (query.rs:150-172
+    build_with_weight, boost_mode=replace): per-doc-type weight ×
+    field_value_factor(weight, factor, missing). Unknown doc types score 0
+    (no matching function)."""
+    tw = F.lit(0.0)
+    for t, w in type_weights.items():
+        tw = F.when(doc_type_col == t, F.lit(float(w))).otherwise(tw)
+    return tw * field_value_factor(weight_col, factor, missing, modifier)
+
+
 def fuzzy_matches(query_tokens_col, doc_tokens_col):
     """Boolean: does the document satisfy the minimum_should_match ladder
     for this query? (the MatchType::Fuzzy acceptance test)"""

@@ -506,6 +506,40 @@ FROM x GROUP BY qid
 """
 
 
+# --- J+ as-of join (backward) over events; DuckDB ASOF JOIN oracle --------
+# For each click event, the most recent prior error of the same user.
+
+
+def q_asof_join(spark, sf_dir):
+    from .operators.asof import asof_join_backward
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    out = asof_join_backward(
+        clicks, errors, by=("user_id",), right_vals=("value",), prefix="err_"
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.round("err_value", 6).alias("err_value_r"),
+        F.col("err_ts"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+e AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+SELECT c.click_id, c.user_id,
+       ROUND(e.value, 6) AS err_value_r, e.ts AS err_ts
+FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
 # --- A6: weight inheritance (street.rs:309-318 compute_street_weight) -----
 # Suppliers ("streets") inherit the weight of their nation's "city admin"
 # (max customer balance per even-keyed nation); no city admin -> own weight.
@@ -541,8 +575,8 @@ FROM supplier LEFT JOIN adm ON s_nationkey = k
 
 
 # --- A8: zips-at-max-level (utils.rs:37-53) -------------------------------
-# Entity = customer; level = order year; "zips" = clerks of finished orders.
-# The highest year with any finished order contributes ALL its clerks.
+# Entity = customer; level = order year; "zips" = priorities of finished
+# orders. The highest year with any finished order contributes ALL of them.
 
 
 def q_zips_max_level(spark, sf_dir):
@@ -554,7 +588,7 @@ def q_zips_max_level(spark, sf_dir):
         F.year("o_orderdate").alias("level"),
     ).agg(
         F.collect_list(
-            F.when(F.col("o_orderstatus") == "F", F.col("o_clerk"))
+            F.when(F.col("o_orderstatus") == "F", F.col("o_orderpriority"))
         ).alias("zip_codes")
     )
     out = zips_at_max_level(rows)
@@ -564,7 +598,7 @@ def q_zips_max_level(spark, sf_dir):
 SQL_ZIPS_MAX_LEVEL = """
 WITH rows_ AS (
   SELECT o_custkey AS e, year(o_orderdate) AS lvl,
-         list(o_clerk) FILTER (WHERE o_orderstatus = 'F') AS z
+         list(o_orderpriority) FILTER (WHERE o_orderstatus = 'F') AS z
   FROM orders GROUP BY 1, 2
 ),
 has AS (SELECT * FROM rows_ WHERE len(z) > 0),
@@ -597,6 +631,7 @@ def rel_queries() -> dict:
         "fuzzy_msm": q_fuzzy_msm,
         "weight_inherit": q_weight_inherit,
         "zips_max_level": q_zips_max_level,
+        "asof_join": q_asof_join,
     }
 
 
@@ -621,6 +656,7 @@ def rel_oracle_sql() -> dict:
         "fuzzy_msm": SQL_FUZZY_MSM,
         "weight_inherit": SQL_WEIGHT_INHERIT,
         "zips_max_level": SQL_ZIPS_MAX_LEVEL,
+        "asof_join": SQL_ASOF_JOIN,
     }
 
 # --- O3: natural ("human") sort — "line 3" < "line 11"

@@ -66,6 +66,119 @@ def stream_series_1m(
     )
 
 
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-host crawl-rate anomaly detection
+# ---------------------------------------------------------------------------
+# applyInPandasWithState (Arrow-batched arbitrary state — the Spark-first
+# custom-operator escape hatch, SURVEY.md §2.10 extension). Spark forbids
+# stateful ops AFTER a streaming aggregation, so this consumes RAW page
+# events per host and maintains (current minute, count, EMA) itself:
+# a minute closes when a later-minute event arrives for that host; the
+# closed minute emits with its anomaly flag vs the EMA *before* it, then
+# folds into the EMA. Late events for already-closed minutes are DROPPED
+# and counted in the row's `late_dropped` (bounded state — the watermark
+# analog is explicit here). Deterministic: rows sort by (warc_ts, url)
+# inside each batch; EMA is IEEE double arithmetic in event order.
+
+ANOMALY_SCHEMA = (
+    "host string, bucket_ts timestamp, doc_count long, ema_before double, "
+    "is_anomaly boolean, late_dropped long"
+)
+ANOMALY_STATE_SCHEMA = "ema double, n long, cur_min long, cur_count long, late long"
+
+
+def _anomaly_fn(alpha: float, k: float, warmup: int):
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        (host,) = key
+        ema, n, cur_min, cur_count, late = (
+            state.get if state.exists else (0.0, 0, -1, 0, 0)
+        )
+        out = {c: [] for c in ("host", "bucket_ts", "doc_count", "ema_before", "is_anomaly", "late_dropped")}
+
+        def close(minute, count):
+            nonlocal ema, n, late
+            out["host"].append(host)
+            out["bucket_ts"].append(pd.Timestamp(minute * 60, unit="s"))
+            out["doc_count"].append(count)
+            out["ema_before"].append(ema)
+            out["is_anomaly"].append(bool(n >= warmup and count > k * ema))
+            out["late_dropped"].append(late)
+            ema = count if n == 0 else alpha * count + (1.0 - alpha) * ema
+            n += 1
+            late = 0
+
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
+            for ts in pdf["warc_ts"]:
+                minute = int(pd.Timestamp(ts).value // 1_000_000_000) // 60
+                if minute == cur_min:
+                    cur_count += 1
+                elif minute > cur_min:
+                    if cur_min >= 0:
+                        close(cur_min, cur_count)
+                    cur_min, cur_count = minute, 1
+                else:  # late event for a closed minute
+                    late += 1
+        state.update((ema, n, cur_min, cur_count, late))
+        if out["host"]:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def stream_rate_anomalies(
+    spark: SparkSession,
+    pages_dir: str,
+    alpha: float = 0.3,
+    k: float = 3.0,
+    warmup: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming per-host crawl-rate anomalies over raw pages. Returns the
+    streaming DataFrame (append mode); drain with foreachBatch/memory sink."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = with_host(reader.parquet(pages_dir))
+    return pages.select("host", "url", "warc_ts").groupBy("host").applyInPandasWithState(
+        _anomaly_fn(alpha, k, warmup),
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rate_anomalies_batch_oracle(pages_pdf, alpha: float = 0.3, k: float = 3.0, warmup: int = 3):
+    """Single-node pandas oracle for stream_rate_anomalies (all-in-one-batch
+    semantics: every minute except each host's last closes)."""
+    import pandas as pd
+
+    from oracle.reference import host_of
+
+    rows = []
+    pdf = pages_pdf.copy()
+    pdf["host"] = host_of(pdf["url"])
+    pdf["minute"] = pdf["warc_ts"].astype("datetime64[us]").astype("int64") // 60_000_000
+    for host, g in pdf.sort_values(["warc_ts", "url"], kind="mergesort").groupby("host"):
+        ema, n = 0.0, 0
+        minutes = list(g.groupby("minute").size().items())  # ascending minute
+        for minute, count in minutes[:-1]:  # last minute never closes
+            rows.append(
+                (host, pd.Timestamp(minute * 60, unit="s"), count, ema,
+                 bool(n >= warmup and count > k * ema), 0)
+            )
+            ema = count if n == 0 else alpha * count + (1.0 - alpha) * ema
+            n += 1
+    return pd.DataFrame(
+        rows, columns=["host", "bucket_ts", "doc_count", "ema_before", "is_anomaly", "late_dropped"]
+    )
+
+
 def idempotent_batch_commit(table: SnapshotTable, batch_df: DataFrame, batch_id: int) -> bool:
     """foreachBatch-safe append: after a failure/restart Structured Streaming
     REPLAYS the last un-checkpointed batch with the same batch_id, so a naive

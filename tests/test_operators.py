@@ -125,7 +125,7 @@ def test_text_analysis_oracle(docs):
 
 
 def test_multimodal_plumbing(spark):
-    media = multimodal.synth_media(spark, n=30)
+    media = multimodal.synth_media(spark, n=30, real=False)
     feats = multimodal.image_features(media, fake=True).collect()
     assert len(feats) == len([r for r in media.collect() if r.kind == "image"])
     for r in feats:
@@ -141,7 +141,7 @@ def test_multimodal_plumbing(spark):
     durs = {r.media_id: r.duration_ms for r in media.collect() if r.kind == "video"}
     for r in got:
         assert r.n == max(durs[r.media_id] // 1000, 1)
-    # real decoder path is explicitly stubbed
+    # unsupported mimes (png/mp4 here) still raise without fake=True
     with pytest.raises(Exception):
         multimodal.image_features(media, fake=False).collect()
 
@@ -327,3 +327,117 @@ def test_materialized_lsh_ivf_probe(spark, tmp_path):
     touched_i = {snap_i.partitions[f] for f in _plain(got_ivf.inputFiles()) if f in snap_i.partitions}
     all_i = {v for v in snap_i.partitions.values() if v}
     assert touched_i and len(touched_i) <= 3 and touched_i < all_i
+
+
+def test_asof_join_backward(spark):
+    """As-of join via union+locf: matches, no-match nulls, exact-ts
+    inclusivity, ties by tiebreak, tolerance null-out."""
+    from mimirsbrunn_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [("h1", 100, "a"), ("h1", 205, "b"), ("h1", 300, "c"),
+         ("h2", 50, "d"), ("h2", 500, "e")],
+        "host string, sec long, tag string",
+    ).select("host", F.timestamp_seconds("sec").alias("ts"), "tag", "sec")
+    right = spark.createDataFrame(
+        [("h1", 100, 1.0, 10), ("h1", 100, 2.0, 11), ("h1", 200, 3.0, 12),
+         ("h2", 400, 4.0, 13)],
+        "host string, rsec long, value double, rid long",
+    ).select("host", F.timestamp_seconds("rsec").alias("ts"), "value", "rid")
+
+    out = asof_join_backward(
+        left, right, by=("host",), right_vals=("value", "rid"), tiebreak="rid"
+    )
+    got = {r.tag: (r.asof_value, r.asof_rid) for r in out.collect()}
+    assert got["a"] == (2.0, 11)   # exact ts inclusive; tie -> max rid
+    assert got["b"] == (3.0, 12)   # most recent prior
+    assert got["c"] == (3.0, 12)
+    assert got["d"] == (None, None)  # nothing before
+    assert got["e"] == (4.0, 13)
+    assert out.count() == 5
+
+    # tolerance: h1@300 matched err@200 (100s gap) -> nulled at 50s tolerance
+    out_t = asof_join_backward(
+        left, right, by=("host",), right_vals=("value",), tiebreak=None,
+        tolerance_sec=50,
+    )
+    got_t = {r.tag: r.asof_value for r in out_t.collect()}
+    assert got_t["a"] is not None and got_t["c"] is None and got_t["e"] is None
+
+
+def test_multimodal_real_kernels(spark):
+    """Real lib-free decode path: PPM/BMP/WAV kernels vs numpy oracles, and
+    the end-to-end Spark pipelines over decodable synth media."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.int64).astype(np.uint8)
+
+    # PPM roundtrip
+    assert np.array_equal(multimodal.decode_ppm(multimodal.encode_ppm(img)), img)
+    # PPM with comment in header
+    ppm_c = b"P6\n# a comment\n17 13\n255\n" + img.tobytes()
+    assert np.array_equal(multimodal.decode_ppm(ppm_c), img)
+
+    # BMP (hand-built 24-bit bottom-up with row padding) decodes to RGB
+    w, h = 3, 2
+    px = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   [[1, 2, 3], [4, 5, 6], [7, 8, 9]]], dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB->BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixel_data = b"".join(rows)
+    header = (b"BM" + (54 + len(pixel_data)).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+              + len(pixel_data).to_bytes(4, "little") + b"\x00" * 16)
+    assert np.array_equal(multimodal.decode_bmp(header + pixel_data), px)
+
+    # resize: nearest-neighbor gather
+    small = multimodal.resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])
+
+    # WAV: rms of a known sine
+    wav = multimodal._synth_wav(np.random.default_rng(0))
+    samples, rate = multimodal.decode_wav(wav)
+    assert rate == 8000 and samples.shape[1] == 1
+    rms = np.sqrt(((samples[:, 0] / 32768.0) ** 2).mean())
+    assert 0.2 < rms < 0.4  # sine at 12000/32768 amplitude -> ~0.26
+
+    # end-to-end over decodable media
+    media = multimodal.synth_media(spark, n=30, real=True)
+    feats = {r.media_id: r for r in multimodal.image_features(media).collect()}
+    meta = {r.media_id: r for r in media.collect()}
+    assert feats and all(
+        (f.decoded_w, f.decoded_h) == (meta[m].width, meta[m].height)
+        for m, f in feats.items()
+    )
+    af = multimodal.audio_features(media).collect()
+    assert af and all(0.2 < r.rms < 0.4 and r.sample_rate == 8000 for r in af)
+    frames = multimodal.sample_frames(media, every_n=2).collect()
+    assert frames and all(r.frame_idx % 2 == 0 for r in frames)
+    # every sampled frame is itself a decodable PPM
+    for r in frames[:5]:
+        assert multimodal.decode_ppm(bytes(r.frame)).shape == (8, 8, 3)
+
+
+def test_importance_score(spark):
+    """G8/G12: field_value_factor + per-type function_score blend."""
+    from mimirsbrunn_spark.functions.scoring import field_value_factor, importance_score
+
+    df = spark.createDataFrame(
+        [("poi", 2.0), ("admin", None), ("street", 4.0), ("ghost", 9.0)],
+        "doc_type string, weight double",
+    )
+    tw = {"poi": 1.5, "admin": 2.0, "street": 0.5}
+    got = {r.doc_type: r.s for r in df.select(
+        "doc_type",
+        importance_score(F.col("doc_type"), F.col("weight"), tw, factor=10.0, missing=0.1).alias("s"),
+    ).collect()}
+    assert got == {"poi": 1.5 * 20.0, "admin": 2.0 * 1.0, "street": 0.5 * 40.0, "ghost": 0.0}
+    import math
+
+    lg = df.select(field_value_factor(F.col("weight"), 1.0, 0.0, "log1p").alias("v")).collect()
+    assert abs(lg[0].v - math.log1p(2.0)) < 1e-12

