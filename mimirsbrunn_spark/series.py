@@ -59,6 +59,35 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*[fin(name).alias(name) for _, fin, name in aggs])
 
 
+def dedup_salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list,
+    salt_col,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Dedup + salted aggregation with ONE full-data shuffle.
+
+    The naive pipeline shuffles the data twice: once for dropDuplicates
+    (keyed on every column) and once for the salted partial aggregate. But
+    if the salt is materialized as a column, then (keys + salt) is a SUBSET
+    of the dedup key set — so an explicit repartition on (keys + salt)
+    satisfies the clustering requirement of BOTH the dedup aggregate and
+    the salted partial aggregate: Catalyst inserts no further Exchange.
+    Only the (tiny) final re-aggregate shuffles again.
+
+    At 100 TB this halves the dominant shuffle: one pass of the ~40 B/row
+    projected data instead of two. Skew guarantee unchanged — a hot
+    (keys) group is spread over ``n_salts`` partitions by the salt."""
+    salted = df.withColumn("_salt", F.pmod(salt_col, F.lit(n_salts)))
+    clustered = salted.repartition(*[F.col(c) for c in keys], F.col("_salt"))
+    deduped = clustered.dropDuplicates()  # reuses the repartition (subset keys)
+    partial = deduped.groupBy(*keys, "_salt").agg(
+        *[p().alias(name) for p, _, name in aggs]
+    )
+    return partial.groupBy(*keys).agg(*[fin(name).alias(name) for _, fin, name in aggs])
+
+
 def series_1m(pages: DataFrame, n_salts: int = 16) -> DataFrame:
     """pages → base tier (host, bucket_ts, lang) → doc_count, bytes_sum.
 
@@ -71,26 +100,24 @@ def series_1m(pages: DataFrame, n_salts: int = 16) -> DataFrame:
     # the grouping keys; a subset dedup would compile to SortAggregate with
     # first() buffers — two full sorts of the input. Equivalent semantics
     # because duplicate fetches are exact copies (ingest.check_duplicate_payloads).
-    p = (
-        with_host(pages)
-        .select(
-            "url",
-            "warc_ts",
-            "host",
-            bucket_col("warc_ts", "1m").alias("bucket_ts"),
-            "lang",
-            "page_size",
-        )
-        .dropDuplicates()
-        .drop("warc_ts")
+    # Duplicates of a (url, warc_ts) agree on every projected column AND on
+    # the url-derived salt, so the single repartition in dedup_salted_agg
+    # routes them together — dedup + partial agg share one shuffle.
+    p = with_host(pages).select(
+        "url",
+        "warc_ts",
+        "host",
+        bucket_col("warc_ts", "1m").alias("bucket_ts"),
+        "lang",
+        "page_size",
     )
-    return salted_agg(
+    return dedup_salted_agg(
         p,
         keys=["host", "bucket_ts", "lang"],
         aggs=[
             (lambda: F.count(F.lit(1)), lambda c: F.sum(c), "doc_count"),
             (lambda: F.sum("page_size"), lambda c: F.sum(c), "bytes_sum"),
         ],
-        salt_col=F.pmod(F.xxhash64("url"), F.lit(n_salts)),
+        salt_col=F.xxhash64("url"),
         n_salts=n_salts,
     )
