@@ -27,6 +27,10 @@ class EngineConfig:
     )
     # codecs
     chunk_tiers: list[str] = field(default_factory=lambda: ["1h", "1d"])
+    # max points per compressed chunk (None = one chunk per (host, tier)).
+    # Bounded chunks are the 100 TB path: bounded decode/update units and
+    # time-range pruning by chunk_start.
+    chunk_max_points: int | None = None
     # dedup / similarity defaults
     minhash_k: int = 32
     minhash_bands: int = 16

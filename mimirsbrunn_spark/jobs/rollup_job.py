@@ -151,7 +151,11 @@ def run_rollup_job(
         gf_tbl.commit(gapfill.gapfill(hs, tier), mode="replace", meta={"tier": tier})
         out_tables[f"gapfill_{tier}"] = gf_tbl
         ch_tbl = tf(f"chunks_{tier}")
-        ch_tbl.commit(codecs.encode_chunks(hs, tier), mode="replace", meta={"tier": tier})
+        ch_tbl.commit(
+            codecs.encode_chunks(hs, tier, max_points_per_chunk=cfg.chunk_max_points),
+            mode="replace",
+            meta={"tier": tier},
+        )
         out_tables[f"chunks_{tier}"] = ch_tbl
     metrics.record(spark, job_id, stage="derived", kv={"seconds": time.time() - t0})
 

@@ -296,6 +296,76 @@ def char_ngrams(text_col: str, n: int = 3):
     )
 
 
+# ---------------------------------------------------------------------------
+# connected components: near-dup pairs → duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``, where component
+    = min id reachable through the pair graph — iterative min-label
+    propagation (the standard large-graph CC without GraphX/graphframes:
+    each round every vertex takes the min label among itself and its
+    neighbors; converges in O(graph diameter) rounds, which for dedup
+    clusters is tiny). Driver-side loop with a convergence check per round;
+    lineage is cut with localCheckpoint every ``checkpoint_every`` rounds
+    (iterative plans otherwise grow unboundedly).
+
+    Scale: each round is one shuffle keyed by vertex id over |V|+|E| rows —
+    no collect; a 10^9-edge pair set runs the same plan."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for i in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("component").alias("component"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    **minhash_kw,
+) -> DataFrame:
+    """End-to-end near-dup clustering: minhash LSH pairs → connected
+    components → (id, keep_id) where keep_id = the cluster's min id (the
+    reference's keep-min-id policy, street.rs:202-246). Docs with no
+    near-dup partner are absent (they keep themselves)."""
+    pairs = minhash_dedup_pairs(documents, threshold=threshold, id_col=id_col, **minhash_kw)
+    return connected_components(pairs).select(
+        F.col("id").alias(id_col), F.col("component").alias("keep_id")
+    )
+
+
 def ngram_jaccard_pairs(candidates: DataFrame, docs: DataFrame, id_col="doc_id", text_col="text", n=3) -> DataFrame:
     """Verify candidate (id_a, id_b) pairs with char-n-gram Jaccard."""
     g = docs.select(F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("ng"))

@@ -75,3 +75,23 @@ def read_rollup(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def register_views(spark: SparkSession, out_dir: str, prefix: str = "") -> list[str]:
+    """Register every published table under ``out_dir`` as a temp view so
+    the whole read surface is plain ``spark.sql`` (the DataFrame API and
+    SQL are the same Catalyst plans — views cost nothing). Returns the view
+    names registered. Views read the CURRENT snapshot at registration time
+    (re-register after a publish to advance, matching snapshot-isolation
+    reader semantics)."""
+    import os
+
+    names = []
+    for name in sorted(os.listdir(out_dir)):
+        tbl = SnapshotTable(os.path.join(out_dir, name))
+        if not tbl.exists():
+            continue
+        view = f"{prefix}{name}"
+        tbl.read(spark).createOrReplaceTempView(view)
+        names.append(view)
+    return names

@@ -441,3 +441,54 @@ def test_importance_score(spark):
 
     lg = df.select(field_value_factor(F.col("weight"), 1.0, 0.0, "log1p").alias("v")).collect()
     assert abs(lg[0].v - math.log1p(2.0)) < 1e-12
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation CC vs a pure-python union-find oracle,
+    including a long chain (exercises multi-round convergence)."""
+    import random
+
+    rng = random.Random(5)
+    edges = [(i, i + 1) for i in range(20)]              # chain 0..20
+    edges += [(100, 101), (101, 102), (100, 102)]        # triangle
+    edges += [(200, 201)]                                # pair
+    edges += [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(30)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        if a != b:
+            union(a, b)
+    want = {x: find(x) for x in parent}
+
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_dedup_clusters_end_to_end(spark):
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river in the morning light of summer")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("jumps", "leaps")),
+            (3, base.replace("morning", "evening")),
+            (9, "a completely unrelated text about spark shuffles and partitions today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.keep_id for r in
+           dedup.dedup_clusters(docs, threshold=0.5).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}  # 9 has no partner -> absent

@@ -62,3 +62,28 @@ def test_minhash_band_exchange_carries_no_shingles(pages_df, spark):
             # the Window over (band, bucket) sizes buckets; its expressions
             # must not include the shingle column
             assert "sh#" not in line
+
+
+def test_series_single_full_shuffle(pages_df):
+    """series_1m must have exactly 2 Exchanges: the explicit repartition on
+    (host, bucket_ts, lang, salt) — the ONLY full-data shuffle, reused by
+    both the dedup aggregate and the salted partial — plus the tiny final
+    re-aggregate. A third Exchange means the dedup/partial fusion regressed."""
+    from mimirsbrunn_spark import series
+
+    p = plan_str(series.series_1m(pages_df), "simple")
+    assert p.count("Exchange") == 2
+    assert "REPARTITION_BY_COL" in p
+
+
+def test_gapfill_no_join_one_stacked_exchange(pages_df):
+    """gapfill must not join the spine (union + in-window dedup instead):
+    no join operator, and only 3 Exchanges downstream of the host series
+    (bounds agg, spine spread, the single stacked window shuffle)."""
+    from mimirsbrunn_spark import gapfill, series, tiers
+
+    hs = tiers.host_series(tiers.rollup(series.series_1m(pages_df), "1h"))
+    base_ex = plan_str(hs, "simple").count("Exchange")
+    p = plan_str(gapfill.gapfill(hs, "1h"), "simple")
+    assert "Join" not in p
+    assert p.count("Exchange") == base_ex + 3

@@ -158,3 +158,42 @@ def test_concurrent_appends_serialize(spark, tmp_path):
     want = sorted(list(range(10)) + [100 * (i + 1) + j for i in range(4) for j in range(10)])
     assert got == want
     assert tbl.current_snapshot_id() == 5
+
+
+def test_job_multi_chunk_config(spark, small_pages_path, tmp_path):
+    """chunk_max_points splits long host series into multiple chunks per
+    (host, tier); decode of the published chunk table equals host_series."""
+    from mimirsbrunn_spark import codecs, tiers
+    from mimirsbrunn_spark.config import EngineConfig
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    out = str(tmp_path / "out_mc")
+    run_rollup_job(spark, small_pages_path, out, config=EngineConfig.load(chunk_max_points=16))
+    chunks = SnapshotTable(f"{out}/chunks_1h").read(spark)
+    per_host = chunks.groupBy("host").count().collect()
+    assert max(r["count"] for r in per_host) > 1  # split actually happened
+    assert chunks.filter("n_points > 16").count() == 0
+    dec = codecs.decode_chunks(chunks).drop("tier")
+    hs = tiers.host_series(SnapshotTable(f"{out}/rollup_1h").read(spark))
+    assert dec.count() == hs.count()
+    assert dec.exceptAll(hs).count() == 0 and hs.exceptAll(dec).count() == 0
+
+
+def test_sql_surface_register_views(spark, small_pages_path, tmp_path):
+    """Published tables are queryable through plain spark.sql."""
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+    from mimirsbrunn_spark.query_api import register_views
+
+    out = str(tmp_path / "out_sql")
+    run_rollup_job(spark, small_pages_path, out)
+    views = register_views(spark, out, prefix="t_")
+    assert {"t_series_1m", "t_rollup_1h", "t_chunks_1h", "t_lineage"} <= set(views)
+    r = spark.sql(
+        "SELECT host, SUM(doc_count) AS docs FROM t_rollup_1d GROUP BY host ORDER BY docs DESC LIMIT 3"
+    ).collect()
+    assert len(r) == 3 and r[0].docs >= r[2].docs
+    joined = spark.sql(
+        "SELECT COUNT(*) AS n FROM t_rollup_1h h JOIN t_rollup_1d d ON h.host = d.host "
+        "AND date_trunc('DAY', h.bucket_ts) = d.bucket_ts AND h.lang = d.lang"
+    ).collect()[0].n
+    assert joined > 0
