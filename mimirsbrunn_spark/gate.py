@@ -47,6 +47,7 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_worker_imports(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
