@@ -541,6 +541,46 @@ FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
 """
 
 
+# --- sessionization over events (gap 30 min; lag + running-sum ids) -------
+
+
+def q_sessionize(spark, sf_dir):
+    from .operators.sessions import session_stats
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = session_stats(e, by=("user_id",), gap_sec=1800, tiebreak="event_id")
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "session_start",
+        "session_end",
+        F.round("duration_sec", 6).alias("duration_sec_r"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       ROUND(epoch(MAX(ts)) - epoch(MIN(ts)), 6) AS duration_sec_r
+FROM sess GROUP BY 1, 2
+"""
+
+
 # --- A6: weight inheritance (street.rs:309-318 compute_street_weight) -----
 # Suppliers ("streets") inherit the weight of their nation's "city admin"
 # (max customer balance per even-keyed nation); no city admin -> own weight.
@@ -633,6 +673,7 @@ def rel_queries() -> dict:
         "weight_inherit": q_weight_inherit,
         "zips_max_level": q_zips_max_level,
         "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
     }
 
 
@@ -658,6 +699,7 @@ def rel_oracle_sql() -> dict:
         "weight_inherit": SQL_WEIGHT_INHERIT,
         "zips_max_level": SQL_ZIPS_MAX_LEVEL,
         "asof_join": SQL_ASOF_JOIN,
+        "sessionize": SQL_SESSIONIZE,
     }
 
 # --- O3: natural ("human") sort — "line 3" < "line 11"

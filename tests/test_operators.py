@@ -492,3 +492,33 @@ def test_dedup_clusters_end_to_end(spark):
     got = {r.doc_id: r.keep_id for r in
            dedup.dedup_clusters(docs, threshold=0.5).collect()}
     assert got == {1: 1, 2: 1, 3: 1}  # 9 has no partner -> absent
+
+
+def test_sessionize_and_native_window_agree(spark):
+    """Explicit lag-based sessionization vs the native session_window
+    aggregate: same session partitioning (n_events multiset per user)."""
+    from mimirsbrunn_spark.operators import sessions
+
+    rows = [
+        # user 1: [0, 100, 200] | gap | [4000, 4100] | gap | [9000]
+        (1, 0), (1, 100), (1, 200), (1, 4000), (1, 4100), (1, 9000),
+        # user 2: single session
+        (2, 50), (2, 60),
+    ]
+    e = spark.createDataFrame(
+        [(u, i, s) for i, (u, s) in enumerate(rows)], "user_id long, event_id long, sec long"
+    ).select("user_id", "event_id", F.timestamp_seconds("sec").alias("ts"))
+
+    stats = sessions.session_stats(e, gap_sec=1800, tiebreak="event_id").collect()
+    got = {(r.user_id, r.session_idx): (r.n_events, r.duration_sec) for r in stats}
+    assert got == {(1, 1): (3, 200.0), (1, 2): (2, 100.0), (1, 3): (1, 0.0), (2, 1): (2, 10.0)}
+
+    native = sessions.session_aggregate(e, gap_sec=1800).collect()
+    def multiset(items):
+        d = {}
+        for k in items:
+            d[k] = d.get(k, 0) + 1
+        return d
+    assert multiset([(r.user_id, r.n_events) for r in native]) == multiset(
+        [(r.user_id, r.n_events) for r in stats]
+    )
