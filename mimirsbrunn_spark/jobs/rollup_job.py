@@ -85,7 +85,19 @@ def run_rollup_job(
     metrics = Metrics(f"{out_dir}/metrics")
     series_tbl = tf("series_1m")
 
-    pages = read_pages(spark, pages_path)
+    # Input resolution: a plain parquet path scans with the day filter
+    # pushed to the reader; a day-partitioned SnapshotTable input (a dir
+    # with _snapshots/) additionally gets MANIFEST pruning — each day
+    # iteration hands the scan only that day's files, the Iceberg
+    # partition-pruning shape the 100 TB deployment relies on.
+    import os
+
+    input_tbl = None
+    if os.path.isdir(os.path.join(pages_path, "_snapshots")):
+        input_tbl = SnapshotTable(pages_path)
+        pages = input_tbl.read(spark)
+    else:
+        pages = read_pages(spark, pages_path)
     days = [
         r.d.isoformat()
         for r in pages.select(F.to_date("warc_ts").alias("d")).distinct().orderBy("d").collect()
@@ -102,7 +114,12 @@ def run_rollup_job(
         # for this day turns the re-append into an overwrite (no duplicates,
         # no doubled derived tiers). Costs nothing on the clean path.
         series_tbl.drop_partition_values({day}, meta={"resume_overwrite": f"day={day}"})
-        day_pages = pages.filter(F.to_date("warc_ts") == F.lit(day))
+        if input_tbl is not None:
+            day_pages = input_tbl.read(spark, partition_min=day, partition_max=day).filter(
+                F.to_date("warc_ts") == F.lit(day)
+            )
+        else:
+            day_pages = pages.filter(F.to_date("warc_ts") == F.lit(day))
         s = series.series_1m(day_pages, n_salts=cfg.n_salts).withColumn(
             "day", F.to_date("bucket_ts")
         )

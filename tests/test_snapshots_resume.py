@@ -197,3 +197,34 @@ def test_sql_surface_register_views(spark, small_pages_path, tmp_path):
         "AND date_trunc('DAY', h.bucket_ts) = d.bucket_ts AND h.lang = d.lang"
     ).collect()[0].n
     assert joined > 0
+
+
+def test_job_partitioned_input_manifest_pruning(spark, small_pages_path, small_pages_pdf, tmp_path):
+    """rollup_job over a day-partitioned SnapshotTable input: each day
+    iteration's scan touches only that day's files (manifest pruning), and
+    the result equals the plain-parquet run exactly."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    # publish the pages as a day-partitioned snapshot table
+    src = SnapshotTable(str(tmp_path / "pages_tbl"))
+    pages = spark.read.parquet(small_pages_path)
+    src.commit(
+        pages.withColumn("day", F.to_date("warc_ts")), mode="replace", partition_by="day"
+    )
+    # sanity: manifest pruning hands the scan only one day's files
+    snap = src.snapshot(src.current_snapshot_id())
+    one_day = sorted({v for v in snap.partitions.values() if v})[0]
+    pruned = src.read(spark, partition_min=one_day, partition_max=one_day)
+    files = [f[7:] if f.startswith("file://") else f for f in pruned.inputFiles()]
+    assert files and all(snap.partitions.get(f) == one_day for f in files)
+
+    out_t = str(tmp_path / "out_tblin")
+    out_p = str(tmp_path / "out_pqin")
+    s1 = run_rollup_job(spark, str(tmp_path / "pages_tbl"), out_t)
+    s2 = run_rollup_job(spark, small_pages_path, out_p)
+    assert s1["series_rows"] == s2["series_rows"]
+    a = SnapshotTable(f"{out_t}/series_1m").read(spark).drop("day")
+    b = SnapshotTable(f"{out_p}/series_1m").read(spark).drop("day")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
