@@ -48,6 +48,78 @@ def cascade(base_1m: DataFrame) -> dict[str, DataFrame]:
     return tiers
 
 
+# ---------------------------------------------------------------------------
+# incremental refresh (continuous-aggregate invalidation)
+# ---------------------------------------------------------------------------
+
+
+def affected_buckets(days: list[str], tier: str) -> list[int]:
+    """Tier bucket starts (epoch seconds) touched by the given ISO days —
+    the invalidation set: new 1m data for a day dirties exactly the tier
+    buckets its minutes fall into (a 30d bucket spans many days; any one of
+    them dirties the whole bucket)."""
+    import datetime as dt
+
+    from .series import TIER_SECONDS
+
+    step = TIER_SECONDS[tier]
+    out = set()
+    for d in days:
+        day_start = int(
+            dt.datetime.fromisoformat(d).replace(tzinfo=dt.timezone.utc).timestamp()
+        )
+        for sec in range(day_start, day_start + 86400, min(step, 86400)):
+            out.add(sec - sec % step)
+    return sorted(out)
+
+
+def incremental_refresh(
+    spark,
+    series_tbl,
+    tier_tbl,
+    tier: str,
+    days: list[str],
+) -> int:
+    """Refresh only the tier buckets dirtied by ``days`` (TimescaleDB-style
+    continuous-aggregate invalidation, instead of a full tier rebuild):
+
+    1. map the processed days to affected tier bucket starts;
+    2. read ONLY the 1m-series day partitions covering those buckets
+       (manifest pruning — a 30d bucket pulls in its sibling days);
+    3. recompute those buckets and swap them in with a metadata-only
+       partition drop + append (tier tables are partitioned by bucket).
+
+    At 100 TB a daily run recomputes |dirty buckets| ≪ |all buckets|; the
+    full-history rebuild this replaces reads the whole series table every
+    run. Returns the number of refreshed buckets."""
+    import datetime as dt
+
+    from .series import TIER_SECONDS
+
+    if not days:
+        return 0
+    buckets = affected_buckets(days, tier)
+    step = TIER_SECONDS[tier]
+    # day partitions needed: every day intersecting [min_bucket, max_bucket+step)
+    lo = dt.datetime.fromtimestamp(buckets[0], dt.timezone.utc).date()
+    hi = dt.datetime.fromtimestamp(buckets[-1] + step - 1, dt.timezone.utc).date()
+    src = series_tbl.read(spark, partition_min=lo.isoformat(), partition_max=hi.isoformat())
+    bucket_set = set(buckets)
+    fresh = (
+        rollup(src, tier)
+        .filter(F.col("bucket_ts").cast("long").isin([int(b) for b in bucket_set]))
+        .withColumn("bucket", F.col("bucket_ts").cast("long").cast("string"))
+    )
+    tier_tbl.drop_partition_values(
+        {str(b) for b in buckets}, meta={"refresh": tier, "days": days}
+    )
+    tier_tbl.commit(
+        fresh, mode="append" if tier_tbl.exists() else "replace",
+        meta={"tier": tier, "refreshed_buckets": len(buckets)}, partition_by="bucket",
+    )
+    return len(buckets)
+
+
 def with_avg_page_size(tier_df: DataFrame) -> DataFrame:
     """Read-time derived metric (never stored, never re-averaged)."""
     return tier_df.withColumn(
