@@ -252,6 +252,39 @@ SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard_r FROM j WHERE jaccard >= {thres
 """
 
 
+def _dedup_clusters_sql(threshold: float = 0.5, **kw) -> str:
+    """Value-verified oracle for the ITERATIVE connected-components dedup
+    clustering: the same minhash-pair CTEs (md5_60 gate hash) feed a
+    recursive transitive-closure CTE; component = min reachable id. DuckDB
+    recursion replaces Spark's min-label-propagation loop — identical
+    fixpoint."""
+    base = _minhash_sql(threshold=threshold, **kw)
+    # reuse everything up to (and incl.) the j CTE; swap the final select
+    head = base[: base.rindex("SELECT id_a, id_b, ROUND")].rstrip()
+    head = head.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    return (
+        head
+        + f""",
+fp AS (SELECT id_a, id_b FROM j WHERE jaccard >= {threshold}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM fp UNION SELECT id_b, id_a FROM fp
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY 1
+"""
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(d, threshold=0.5, k=32, bands=16, hasher="md5_60")
+
+
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash(d, hasher="md5_60")
@@ -355,6 +388,7 @@ def ops_queries() -> dict:
         "doc_langid": q_doc_langid,
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
@@ -371,6 +405,7 @@ def ops_oracle_sql() -> dict:
         "ann_bruteforce": SQL_ANN_BRUTEFORCE,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "minhash_pairs": _minhash_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
     }
