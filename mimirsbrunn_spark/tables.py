@@ -296,8 +296,11 @@ class SnapshotTable:
     def partition_row_count(self, value: str) -> int:
         """Rows in the given partition of the current snapshot — pure
         manifest arithmetic over the per-file footer stats (the Iceberg
-        .partitions-metadata-view analog)."""
-        snap = self.snapshot(self.current_snapshot_id())
+        .partitions-metadata-view analog). 0 when the table has no snapshot."""
+        sid = self.current_snapshot_id()
+        if sid is None:
+            return 0
+        snap = self.snapshot(sid)
         return sum(r for f, r in snap.file_rows.items() if snap.partitions.get(f) == value)
 
 

@@ -522,3 +522,51 @@ def test_sessionize_and_native_window_agree(spark):
     assert multiset([(r.user_id, r.n_events) for r in native]) == multiset(
         [(r.user_id, r.n_events) for r in stats]
     )
+
+
+def test_asof_join_vs_pandas_merge_asof(spark):
+    """Randomized as-of join vs pandas.merge_asof (backward, by-key,
+    with and without tolerance); unique right timestamps per key."""
+    import pandas as pd
+
+    from mimirsbrunn_spark.operators.asof import asof_join_backward
+
+    rng = np.random.default_rng(17)
+    hosts = [f"h{i}" for i in range(6)]
+    left_rows = [
+        (h, int(t), i)
+        for i, (h, t) in enumerate(
+            (rng.choice(hosts), rng.integers(0, 100000)) for _ in range(300)
+        )
+    ]
+    right_ts = {h: rng.choice(100000, size=40, replace=False) for h in hosts[:5]}  # h5: no rights
+    right_rows = [
+        (h, int(t), float(np.round(rng.uniform(), 6))) for h in right_ts for t in right_ts[h]
+    ]
+    left = spark.createDataFrame(left_rows, "host string, sec long, lid long").select(
+        "host", F.timestamp_seconds("sec").alias("ts"), "lid"
+    )
+    right = spark.createDataFrame(right_rows, "host string, sec long, value double").select(
+        "host", F.timestamp_seconds("sec").alias("ts"), "value"
+    )
+
+    lp = pd.DataFrame(left_rows, columns=["host", "sec", "lid"]).sort_values("sec", kind="mergesort")
+    rp = pd.DataFrame(right_rows, columns=["host", "sec", "value"]).sort_values("sec", kind="mergesort")
+
+    for tol in (None, 5000):
+        got = asof_join_backward(
+            left, right, by=("host",), right_vals=("value",),
+            tolerance_sec=tol,
+        ).collect()
+        want = pd.merge_asof(
+            lp, rp, on="sec", by="host", direction="backward",
+            tolerance=tol if tol is None else int(tol),
+        )
+        want_map = dict(zip(want["lid"], want["value"]))
+        for r in got:
+            w = want_map[r.lid]
+            if pd.isna(w):
+                assert r.asof_value is None, (tol, r)
+            else:
+                assert r.asof_value == w, (tol, r)
+        assert len(got) == len(left_rows)
