@@ -87,3 +87,26 @@ def test_gapfill_no_join_one_stacked_exchange(pages_df):
     p = plan_str(gapfill.gapfill(hs, "1h"), "simple")
     assert "Join" not in p
     assert p.count("Exchange") == base_ex + 3
+
+
+def test_asof_and_sessions_single_shuffle(spark):
+    """asof join (union+locf) and sessionization (window + same-key groupBy)
+    must each cost exactly ONE Exchange — the group-key shuffle. A Join node
+    or a second Exchange means the single-sort design regressed."""
+    from mimirsbrunn_spark.operators.asof import asof_join_backward
+    from mimirsbrunn_spark.operators.sessions import session_stats
+
+    left = spark.createDataFrame([("h", 1, 1)], "host string, sec long, lid long").select(
+        "host", F.timestamp_seconds("sec").alias("ts"), "lid"
+    )
+    right = spark.createDataFrame([("h", 1, 1.0)], "host string, sec long, value double").select(
+        "host", F.timestamp_seconds("sec").alias("ts"), "value"
+    )
+    p = plan_str(asof_join_backward(left, right, by=("host",)), "simple")
+    assert p.count("Exchange") == 1 and "Join" not in p
+
+    e = spark.createDataFrame([(1, 2, 3)], "user_id long, event_id long, sec long").select(
+        "user_id", "event_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    p2 = plan_str(session_stats(e, tiebreak="event_id"), "simple")
+    assert p2.count("Exchange") == 1
