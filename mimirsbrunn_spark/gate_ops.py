@@ -379,6 +379,60 @@ SELECT id_a, id_b, ROUND(cosine, 6) AS cosine_r FROM pairs WHERE cosine >= 0.95
 """
 
 
+# --- mergeable size-distribution sketch + derived percentiles --------------
+
+
+def q_size_histogram(spark, sf_dir):
+    from .operators.histograms import size_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    return size_histogram(d, value_col="n_chars", keys=("lang",))
+
+
+SQL_SIZE_HISTOGRAM = """
+SELECT lang,
+       CAST(LEAST(length(bin(COALESCE(GREATEST(n_chars, 0), 0) + 1)) - 1, 40) AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_size_quantiles(spark, sf_dir):
+    from .operators.histograms import histogram_quantile, size_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    h = size_histogram(d, value_col="n_chars", keys=("lang",))
+    p50 = histogram_quantile(h, 0.5, keys=("lang",), out_col="p50_ub")
+    p95 = histogram_quantile(h, 0.95, keys=("lang",), out_col="p95_ub")
+    return p50.join(p95, "lang")
+
+
+SQL_SIZE_QUANTILES = """
+WITH h AS (
+  SELECT lang,
+         CAST(LEAST(length(bin(COALESCE(GREATEST(n_chars, 0), 0) + 1)) - 1, 40) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+c AS (
+  SELECT lang, bin,
+         SUM(n) OVER (PARTITION BY lang ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY lang) AS total
+  FROM h
+),
+pick AS (
+  SELECT lang,
+         MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) AS b50,
+         MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) AS b95
+  FROM c GROUP BY 1
+)
+SELECT lang,
+       CAST(POW(2.0, b50 + 1) - 2 AS BIGINT) AS p50_ub,
+       CAST(POW(2.0, b95 + 1) - 2 AS BIGINT) AS p95_ub
+FROM pick
+"""
+
+
 def ops_queries() -> dict:
     return {
         "doc_tokens": q_doc_tokens,
@@ -389,6 +443,8 @@ def ops_queries() -> dict:
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "size_histogram": q_size_histogram,
+        "size_quantiles": q_size_quantiles,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
@@ -406,6 +462,8 @@ def ops_oracle_sql() -> dict:
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "minhash_pairs": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "size_histogram": SQL_SIZE_HISTOGRAM,
+        "size_quantiles": SQL_SIZE_QUANTILES,
         "simhash": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
     }

@@ -1,0 +1,96 @@
+"""Mergeable size-distribution sketches: log-bucketed histograms + derived
+percentiles per rollup tier (the TimescaleDB ``percentile_agg`` /
+Datasketches-rollup analog, built purely from Spark primitives).
+
+Design for exactness under the engine's north star: the SKETCH is integer
+bucket counts in LONG format (host, bucket_ts, bin, n) — merging across
+time buckets or tiers is plain integer summation, so tier cascades of
+histograms are exactly order-independent (same discipline as
+doc_count/bytes_sum). Only the derived read-time quantile is approximate
+(resolution = the log-2 bin), and it is a deterministic pure function of
+the counts, so a DuckDB oracle verifies it value-for-value.
+
+bin(v) = floor(log2(v + 1)), capped to ``max_bin`` — i.e. bin b covers
+[2^b - 1, 2^(b+1) - 1). Computed with the integer bit-length trick
+(63 - #leading-zeros) rather than float log2: float rounding at exact
+powers of two would flip bins per-platform; bit math cannot.
+
+Scale: the histogram rollup is one groupBy over (key, bin) — ≤ max_bin+1
+rows per series bucket; quantile derivation is a window cumsum over ≤ 41
+rows per bucket. Nothing here touches raw doc counts after the base tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_BIN = 40  # 2^40 ≈ 1 TB page size — beyond any real page
+
+
+def size_bin(col, max_bin: int = MAX_BIN):
+    """floor(log2(v + 1)) via bit length (exact integer math): for v >= 0,
+    bit_length(v + 1) - 1; capped at max_bin; negatives clamp to 0."""
+    v = F.greatest(col.cast("long"), F.lit(0)) + F.lit(1)
+    # bit_length(x) for x >= 1 == 64 - leading_zeros; Spark exposes bit_length
+    # in BITS of the binary repr for strings only, so use floor(log2) via
+    # repeated comparisons... no: use the well-defined expression
+    # 63 - bit_count for powers is wrong; instead: length of bin repr.
+    blen = F.length(F.conv(v.cast("string"), 10, 2))  # digits of binary repr
+    return F.least(blen - 1, F.lit(max_bin)).cast("int")
+
+
+def size_histogram(
+    series_or_pages: DataFrame,
+    value_col: str = "page_size",
+    keys: tuple[str, ...] = ("host", "bucket_ts"),
+    max_bin: int = MAX_BIN,
+) -> DataFrame:
+    """(keys..., bin, n): integer bucket counts — the mergeable sketch."""
+    return (
+        series_or_pages.select(*keys, size_bin(F.col(value_col), max_bin).alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def rollup_histogram(hist: DataFrame, tier: str, keys: tuple[str, ...] = ("host",)) -> DataFrame:
+    """Cascade step: re-bucket time and SUM counts — exact merge."""
+    from ..series import bucket_col
+
+    return (
+        hist.select(
+            *keys, bucket_col("bucket_ts", tier).alias("bucket_ts"), "bin", "n"
+        )
+        .groupBy(*keys, "bucket_ts", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    q: float,
+    keys: tuple[str, ...] = ("host", "bucket_ts"),
+    out_col: str = "quantile_ub",
+) -> DataFrame:
+    """Read-time quantile from the counts: the smallest bin whose cumulative
+    count reaches ceil(q * total); reported as the bin's upper bound
+    2^(bin+1) - 2 (the largest value the bin can hold). Deterministic pure
+    function of the sketch — DuckDB-oracle-verifiable."""
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*keys)
+    cum = F.sum("n").over(w)
+    total = F.sum("n").over(wt)
+    need = F.ceil(F.lit(float(q)) * total)
+    hit = hist.withColumn("_cum", cum).withColumn("_need", need).filter(
+        F.col("_cum") >= F.col("_need")
+    )
+    wmin = Window.partitionBy(*keys).orderBy("bin")
+    return (
+        hit.withColumn("_rn", F.row_number().over(wmin))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            (F.pow(F.lit(2.0), F.col("bin") + 1) - 2).cast("long").alias(out_col),
+        )
+    )

@@ -570,3 +570,39 @@ def test_asof_join_vs_pandas_merge_asof(spark):
             else:
                 assert r.asof_value == w, (tol, r)
         assert len(got) == len(left_rows)
+
+
+def test_size_histogram_merge_exact(spark):
+    """Mergeable log-histogram sketch: (a) bin function exact at powers of
+    two (bit-math, no float log); (b) rolling up 1m histograms to 1d equals
+    the histogram computed directly from raw rows — exact integer merge."""
+    from mimirsbrunn_spark.operators import histograms as H
+
+    vals = [0, 1, 2, 3, 4, 7, 8, 1023, 1024, 1025, 2**30, 2**40 + 5]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.b for r in df.select("v", H.size_bin(F.col("v")).alias("b")).collect()}
+    import math
+
+    for v in vals:
+        assert got[v] == min(int(math.floor(math.log2(v + 1))), 40), v
+
+    rng = np.random.default_rng(23)
+    rows = [
+        ("h%d" % rng.integers(0, 3), int(rng.integers(0, 5) * 60 + 1_700_000_000 // 60 * 60 + 86400 * int(rng.integers(0, 2))), int(rng.integers(0, 10**6)))
+        for _ in range(500)
+    ]
+    base = spark.createDataFrame(rows, "host string, sec long, page_size long").select(
+        "host", F.timestamp_seconds("sec").alias("bucket_ts"), "page_size"
+    )
+    h1m = H.size_histogram(base)
+    h1d_merged = H.rollup_histogram(h1m, "1d")
+    from mimirsbrunn_spark.series import bucket_col
+
+    h1d_direct = H.size_histogram(
+        base.select(bucket_col("bucket_ts", "1d").alias("bucket_ts"), "host", "page_size")
+    )
+    assert h1d_merged.exceptAll(h1d_direct).count() == 0
+    assert h1d_direct.exceptAll(h1d_merged).count() == 0
+    # quantile sanity: p50 upper bound covers >= half the mass
+    q = H.histogram_quantile(h1d_merged, 0.5).collect()
+    assert q and all(r.quantile_ub > 0 for r in q)
