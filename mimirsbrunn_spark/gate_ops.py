@@ -379,6 +379,77 @@ SELECT id_a, id_b, ROUND(cosine, 6) AS cosine_r FROM pairs WHERE cosine >= 0.95
 """
 
 
+# --- URL canonicalization (pre-dedup identity for crawl URLs) --------------
+
+
+def q_url_canon(spark, sf_dir):
+    from .functions.urls import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    # deterministic messy URLs synthesized from table columns: mixed-case
+    # scheme/host, default ports, tracking params, unsorted params, fragments
+    url = F.concat(
+        F.lit("HTTPS://Example-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?z=2&utm_source=x&a=1&gclid=abc&b="),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        ).otherwise(F.lit("?utm_campaign=y")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", url.alias("url"))
+    return d.select("doc_id", "url", canonicalize_url(F.col("url")).alias("canon"))
+
+
+SQL_URL_CANON = r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://Example-' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+         || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+         || '/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '?z=2&utm_source=x&a=1&gclid=abc&b=' || CAST(doc_id % 5 AS VARCHAR)
+                 ELSE '?utm_campaign=y' END
+         || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         LOWER(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         LOWER(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM raw
+),
+cleaned AS (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                THEN substring(auth, 1, length(auth) - 3)
+              WHEN scheme = 'https' AND auth LIKE '%:443'
+                THEN substring(auth, 1, length(auth) - 4)
+              ELSE auth END AS auth,
+         path,
+         COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+           p -> p <> ''
+                AND NOT list_contains(['gclid','fbclid','msclkid','ref'],
+                                      string_split(p, '=')[1])
+                AND NOT starts_with(string_split(p, '=')[1], 'utm_'))), '&'), '') AS q
+  FROM parts
+)
+SELECT doc_id, url,
+       scheme || '://' || auth || path
+       || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
+FROM cleaned
+"""
+
+
 # --- mergeable size-distribution sketch + derived percentiles --------------
 
 
@@ -445,6 +516,7 @@ def ops_queries() -> dict:
         "dedup_clusters": q_dedup_clusters,
         "size_histogram": q_size_histogram,
         "size_quantiles": q_size_quantiles,
+        "url_canon": q_url_canon,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
@@ -464,6 +536,7 @@ def ops_oracle_sql() -> dict:
         "dedup_clusters": _dedup_clusters_sql(),
         "size_histogram": SQL_SIZE_HISTOGRAM,
         "size_quantiles": SQL_SIZE_QUANTILES,
+        "url_canon": SQL_URL_CANON,
         "simhash": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
     }

@@ -99,3 +99,20 @@ def test_multiword_synonyms(spark):
     assert got[1] == ["centre", "commercial", "des", "halles"]
     assert got[2] == ["boulevard", "saint", "germain"]
     assert got[3] == ["la", "gare"]
+
+
+def test_canonicalize_url(spark):
+    from mimirsbrunn_spark.functions.urls import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/A/B?b=2&a=1#x", "http://www.example.com/A/B?a=1&b=2"),
+        ("https://e.com:443/p?utm_source=x&gclid=1", "https://e.com/p"),
+        ("https://e.com:8443/p?z=1&utm_x=2", "https://e.com:8443/p?z=1"),  # non-default port kept
+        ("http://e.com/", "http://e.com/"),
+        ("https://e.com/p?ref=abc&a=1&fbclid=z", "https://e.com/p?a=1"),
+        ("https://e.com/p?utm_campaign=y", "https://e.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
