@@ -450,6 +450,55 @@ FROM cleaned
 """
 
 
+# --- boilerplate detection: per-host frequent segments ---------------------
+# A deterministic per-source footer is injected in-query so the gate always
+# has known boilerplate to find; natural segments that cross the threshold
+# match identically in both engines.
+
+
+def q_boilerplate(spark, sf_dir):
+    from .operators.text import boilerplate_segments
+
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(". visit our site "),
+            F.col("source"),
+            F.lit(" for more. all rights reserved"),
+        ).alias("text"),
+    )
+    out = boilerplate_segments(d2, host_col="source", min_ratio=0.5, min_host_docs=2)
+    return out.select(
+        "host", "seg_norm", "n_docs", "host_docs", F.round("ratio", 6).alias("ratio_r")
+    )
+
+
+SQL_BOILERPLATE = """
+WITH d AS (
+  SELECT doc_id, source,
+         text || '. visit our site ' || source || ' for more. all rights reserved' AS text
+  FROM documents
+),
+hd AS (SELECT source AS host, COUNT(DISTINCT doc_id) AS host_docs FROM d GROUP BY 1),
+seg0 AS (
+  SELECT source AS host, doc_id AS id, unnest(string_split(text, '. ')) AS seg FROM d
+),
+seg AS (
+  SELECT DISTINCT host, id, TRIM(LOWER(seg)) AS seg_norm
+  FROM seg0 WHERE TRIM(LOWER(seg)) <> ''
+),
+freq AS (SELECT host, seg_norm, COUNT(*) AS n_docs FROM seg GROUP BY 1, 2)
+SELECT f.host, seg_norm, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(host_docs AS BIGINT) AS host_docs,
+       ROUND(n_docs * 1.0 / host_docs, 6) AS ratio_r
+FROM freq f JOIN hd ON f.host = hd.host
+WHERE host_docs >= 2 AND n_docs * 1.0 / host_docs >= 0.5
+"""
+
+
 # --- mergeable size-distribution sketch + derived percentiles --------------
 
 
@@ -517,6 +566,7 @@ def ops_queries() -> dict:
         "size_histogram": q_size_histogram,
         "size_quantiles": q_size_quantiles,
         "url_canon": q_url_canon,
+        "boilerplate": q_boilerplate,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
@@ -537,6 +587,7 @@ def ops_oracle_sql() -> dict:
         "size_histogram": SQL_SIZE_HISTOGRAM,
         "size_quantiles": SQL_SIZE_QUANTILES,
         "url_canon": SQL_URL_CANON,
+        "boilerplate": SQL_BOILERPLATE,
         "simhash": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
     }

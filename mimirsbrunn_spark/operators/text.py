@@ -117,3 +117,96 @@ def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal: per-host frequent segments
+# ---------------------------------------------------------------------------
+# Web pages of one host repeat navigation/footer/legal segments across most
+# documents; training pipelines strip segments whose within-host document
+# frequency exceeds a threshold (the CCNet/RefinedWeb-style dedup-by-
+# frequency pass). Segments are pinned as '. '-separated spans (literal
+# separator — identical split semantics in Spark regex-escaped and DuckDB
+# literal string_split), compared after lower+trim normalization.
+
+
+def _segments(text_col):
+    from pyspark.sql import functions as F
+
+    return F.split(text_col, r"\. ")
+
+
+def boilerplate_segments(
+    docs,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ratio: float = 0.5,
+    min_host_docs: int = 2,
+):
+    """(host, seg_norm, n_docs, host_docs, ratio) for segments appearing in
+    >= min_ratio of a host's documents (hosts with < min_host_docs docs are
+    exempt — a 1-doc host would mark everything boilerplate)."""
+    from pyspark.sql import functions as F
+
+    host_docs = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count_distinct(id_col).alias("host_docs")
+    )
+    seg = (
+        docs.select(
+            F.col(host_col).alias("host"),
+            F.col(id_col).alias("id"),
+            F.explode(_segments(F.col(text_col))).alias("seg"),
+        )
+        .select("host", "id", F.trim(F.lower("seg")).alias("seg_norm"))
+        .filter(F.col("seg_norm") != "")
+        .distinct()
+    )
+    freq = seg.groupBy("host", "seg_norm").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        freq.join(host_docs, "host")
+        .withColumn("ratio", F.col("n_docs") / F.col("host_docs"))
+        .filter((F.col("host_docs") >= min_host_docs) & (F.col("ratio") >= min_ratio))
+    )
+
+
+def strip_boilerplate(
+    docs,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ratio: float = 0.5,
+    min_host_docs: int = 2,
+):
+    """Documents with boilerplate segments removed: segments re-joined with
+    '. ' in original order (posexplode keeps positions). Returns
+    (id, host, clean_text, n_removed)."""
+    from pyspark.sql import functions as F
+
+    boiler = boilerplate_segments(
+        docs, host_col, id_col, text_col, min_ratio, min_host_docs
+    ).select("host", "seg_norm", F.lit(True).alias("_is_boiler"))
+    seg = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        F.posexplode(_segments(F.col(text_col))).alias("pos", "seg"),
+    ).withColumn("seg_norm", F.trim(F.lower("seg")))
+    marked = seg.join(boiler, ["host", "seg_norm"], "left")
+    kept = marked.filter(F.col("_is_boiler").isNull())
+    return (
+        kept.groupBy("id", "host")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "seg"))).alias("_segs"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("host").alias(host_col),
+            F.array_join(F.col("_segs.seg"), ". ").alias("clean_text"),
+        )
+        .join(
+            marked.groupBy("id").agg(
+                F.sum(F.when(F.col("_is_boiler"), 1).otherwise(0)).alias("n_removed")
+            ).withColumnRenamed("id", id_col),
+            id_col,
+        )
+    )

@@ -606,3 +606,27 @@ def test_size_histogram_merge_exact(spark):
     # quantile sanity: p50 upper bound covers >= half the mass
     q = H.histogram_quantile(h1d_merged, 0.5).collect()
     assert q and all(r.quantile_ub > 0 for r in q)
+
+
+def test_boilerplate_strip(spark):
+    """Per-host frequent-segment removal: footer segments repeated across a
+    host's docs are stripped; rare segments and small hosts are untouched."""
+    from mimirsbrunn_spark.operators.text import boilerplate_segments, strip_boilerplate
+
+    footer = "all rights reserved"
+    rows = [
+        (1, "h1", "unique alpha text. " + footer),
+        (2, "h1", "different beta words. " + footer),
+        (3, "h1", "gamma content here. " + footer),
+        (4, "h1", "delta body only"),              # no footer
+        (5, "h2", "single doc host. " + footer),   # host_docs=1 -> exempt
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    b = boilerplate_segments(docs, min_ratio=0.5, min_host_docs=2).collect()
+    assert {(r.host, r.seg_norm) for r in b} == {("h1", footer)}
+
+    out = {r.doc_id: (r.clean_text, r.n_removed) for r in
+           strip_boilerplate(docs, min_ratio=0.5, min_host_docs=2).collect()}
+    assert out[1] == ("unique alpha text", 1)
+    assert out[4] == ("delta body only", 0)
+    assert out[5] == ("single doc host. " + footer, 0)  # exempt host intact
