@@ -95,3 +95,38 @@ def register_views(spark: SparkSession, out_dir: str, prefix: str = "") -> list[
         tbl.read(spark).createOrReplaceTempView(view)
         names.append(view)
     return names
+
+
+def table_report(spark: SparkSession, out_dir: str) -> dict:
+    """Operational snapshot of a published output dir: per table the current
+    snapshot id, row count (manifest arithmetic — no scans), snapshot-chain
+    length, partition count and bounds; plus lineage progress. The
+    engine's answer to the reference's import-stats/admin surface
+    (/root/reference/src/addr_reader.rs:33-65 per-country stats)."""
+    import os
+
+    report: dict = {"tables": {}, "lineage": None}
+    for name in sorted(os.listdir(out_dir)):
+        tbl = SnapshotTable(os.path.join(out_dir, name))
+        if not tbl.exists():
+            continue
+        snap = tbl.snapshot(tbl.current_snapshot_id())
+        parts = sorted({v for v in snap.partitions.values() if v})
+        report["tables"][name] = {
+            "snapshot_id": snap.snapshot_id,
+            "rows": snap.row_count,
+            "files": len(snap.files),
+            "snapshots": len(tbl.snapshots()),
+            "partitions": len(parts),
+            "partition_min": parts[0] if parts else None,
+            "partition_max": parts[-1] if parts else None,
+        }
+    lin_path = os.path.join(out_dir, "lineage")
+    lin = SnapshotTable(lin_path)
+    if lin.exists():
+        rows = lin.read(spark).select("partition_id").collect()
+        report["lineage"] = {
+            "partitions_done": len(rows),
+            "latest": max((r.partition_id for r in rows), default=None),
+        }
+    return report

@@ -311,3 +311,61 @@ def test_stateful_anomaly_stream_equals_oracle(spark, small_pages_path, small_pa
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["is_anomaly"].any() or True  # flag column materialized
+
+
+def test_streaming_watermark_drops_late_events(spark, tmp_path):
+    """An event older than the watermark horizon arriving in a later batch
+    must NOT reopen its closed window (bounded state, late data dropped)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_spark.streaming import run_stream_to_table
+
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
+
+    def write_batch(path, rows):
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "url": [r[0] for r in rows],
+                    "warc_ts": [pd.Timestamp(r[1], unit="s") for r in rows],
+                    "html": [b"x" for _ in rows],
+                    "text": ["t" for _ in rows],
+                    "lang": ["en" for _ in rows],
+                },
+                schema=schema,
+            ),
+            path,
+        )
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    t0 = 1_700_000_000
+    # batch 1: two events at minute 0, then a sentinel far ahead that pushes
+    # the 10-minute watermark well past minute 0 (closing its window)
+    write_batch(str(stream_dir / "b1.parquet"),
+                [("https://h.com/1", t0), ("https://h.com/2", t0 + 5),
+                 ("https://zzz.invalid/s", t0 + 3600)])
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    run_stream_to_table(spark, str(stream_dir), tbl, checkpoint_dir=str(tmp_path / "ck"))
+    first = {(r.host, r.bucket_ts, r.doc_count) for r in tbl.read(spark).collect()}
+    assert ("h.com", pd.Timestamp(t0 - t0 % 60, unit="s"), 2) in {
+        (h, pd.Timestamp(b), c) for h, b, c in [(r[0], r[1], r[2]) for r in first]
+    }
+
+    # batch 2: a LATE event for minute 0 + a further sentinel
+    write_batch(str(stream_dir / "b2.parquet"),
+                [("https://h.com/late", t0 + 10), ("https://zzz.invalid/s2", t0 + 7200)])
+    run_stream_to_table(spark, str(stream_dir), tbl, checkpoint_dir=str(tmp_path / "ck"))
+    rows = [r for r in tbl.read(spark).collect() if r.host == "h.com"]
+    # the closed minute-0 window was NOT re-emitted or updated: still one
+    # h.com row with doc_count 2 (the late event was dropped by the watermark)
+    assert len(rows) == 1 and rows[0].doc_count == 2

@@ -228,3 +228,17 @@ def test_job_partitioned_input_manifest_pruning(spark, small_pages_path, small_p
     a = SnapshotTable(f"{out_t}/series_1m").read(spark).drop("day")
     b = SnapshotTable(f"{out_p}/series_1m").read(spark).drop("day")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_table_report(spark, small_pages_path, tmp_path):
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+    from mimirsbrunn_spark.query_api import table_report
+
+    out = str(tmp_path / "out_rep")
+    run_rollup_job(spark, small_pages_path, out)
+    rep = table_report(spark, out)
+    assert rep["tables"]["series_1m"]["rows"] > 0
+    assert rep["tables"]["series_1m"]["partitions"] >= 2
+    assert rep["tables"]["rollup_1h"]["snapshot_id"] >= 1
+    assert rep["lineage"]["partitions_done"] == rep["tables"]["series_1m"]["partitions"]
+    assert rep["lineage"]["latest"].startswith("day=")
