@@ -450,6 +450,67 @@ FROM cleaned
 """
 
 
+# --- ANN: IVF probe with pinned coarse centroids ---------------------------
+# The production quantizer is k-means (ivf_train — iterative, driver-held
+# centroids); the GATE pins the quantizer to "the k lowest-id vectors" so
+# BOTH engines derive identical centroids from the data itself and the
+# whole probe (assign → nprobe nearest cells → exact cosine) is
+# value-verified. Tie-breaks pinned: lowest centroid id wins (Spark's
+# array_position-of-min = first minimum).
+
+
+def q_ann_ivf(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    import numpy as np
+
+    seed_rows = e.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    centroids = np.array([[float(x) for x in r[0]] for r in seed_rows], dtype=np.float64)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivf_topk(e, qvec, centroids, k=10, nprobe=3)
+    return out.select("id", F.round("cosine", 6).alias("cosine_r"))
+
+
+SQL_ANN_IVF = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+q AS (SELECT v AS qv FROM e WHERE id = 0),
+dists AS (
+  SELECT e.id, e.v, c.cid,
+         list_inner_product(list_transform(list_zip(e.v, c.cv), t -> t[1] - t[2]),
+                            list_transform(list_zip(e.v, c.cv), t -> t[1] - t[2])) AS d2
+  FROM e, c
+),
+assign AS (
+  SELECT id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM dists)
+  WHERE rn = 1
+),
+qd AS (
+  SELECT c.cid,
+         list_inner_product(list_transform(list_zip(q.qv, c.cv), t -> t[1] - t[2]),
+                            list_transform(list_zip(q.qv, c.cv), t -> t[1] - t[2])) AS d2
+  FROM c, q
+),
+probes AS (
+  SELECT cid FROM (SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn FROM qd)
+  WHERE rn <= 3
+),
+hit AS (SELECT a.id, a.v FROM assign a JOIN probes p ON a.cid = p.cid),
+scored AS (
+  SELECT id,
+         list_inner_product(v, qv)
+           / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) AS cosine
+  FROM hit, q
+)
+SELECT id, ROUND(cosine, 6) AS cosine_r FROM scored ORDER BY cosine DESC, id ASC LIMIT 10
+"""
+
+
 # --- boilerplate detection: per-host frequent segments ---------------------
 # A deterministic per-source footer is injected in-query so the gate always
 # has known boilerplate to find; natural segments that cross the threshold
@@ -567,6 +628,7 @@ def ops_queries() -> dict:
         "size_quantiles": q_size_quantiles,
         "url_canon": q_url_canon,
         "boilerplate": q_boilerplate,
+        "ann_ivf": q_ann_ivf,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
@@ -588,6 +650,7 @@ def ops_oracle_sql() -> dict:
         "size_quantiles": SQL_SIZE_QUANTILES,
         "url_canon": SQL_URL_CANON,
         "boilerplate": SQL_BOILERPLATE,
+        "ann_ivf": SQL_ANN_IVF,
         "simhash": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
     }
