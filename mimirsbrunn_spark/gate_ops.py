@@ -450,6 +450,67 @@ FROM cleaned
 """
 
 
+# --- Gopher-style quality rule bundle --------------------------------------
+
+
+def q_gopher_rules(spark, sf_dir):
+    from .operators.text import (
+        alpha_word_ratio,
+        gopher_quality,
+        mean_word_length,
+        repetition_ratio,
+        symbol_word_ratio,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(mean_word_length(c), 6).alias("mean_word_len_r"),
+        F.round(repetition_ratio(c), 6).alias("repetition_r"),
+        F.round(symbol_word_ratio(c), 6).alias("symbol_r"),
+        F.round(alpha_word_ratio(c), 6).alias("alpha_r"),
+        gopher_quality(c, min_words=20).alias("passes"),
+    )
+
+
+SQL_GOPHER_RULES = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, text, toks,
+         list_transform(generate_series(1, GREATEST(len(toks) - 1, 1)),
+                        i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS grams
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN 0.0
+              ELSE list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) END AS mwl,
+         CASE WHEN len(toks) >= 2
+              THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+              ELSE 0.0 END AS rep,
+         (length(text) - length(regexp_replace(text, '[#…]', '', 'g'))) * 1.0
+           / GREATEST(len(toks), 1) AS sym,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 1.0
+           / GREATEST(len(toks), 1) AS alpha,
+         CASE WHEN TRIM(LOWER(text)) = '' THEN 0 ELSE len(toks) END AS n
+  FROM g
+)
+SELECT doc_id,
+       ROUND(mwl, 6) AS mean_word_len_r,
+       ROUND(rep, 6) AS repetition_r,
+       ROUND(sym, 6) AS symbol_r,
+       ROUND(alpha, 6) AS alpha_r,
+       (n >= 20 AND n <= 100000 AND mwl <= 10.0 AND sym <= 0.1
+        AND alpha >= 0.8 AND rep <= 0.3) AS passes
+FROM m
+"""
+
+
 # --- ANN: IVF probe with pinned coarse centroids ---------------------------
 # The production quantizer is k-means (ivf_train — iterative, driver-held
 # centroids); the GATE pins the quantizer to "the k lowest-id vectors" so
@@ -629,6 +690,7 @@ def ops_queries() -> dict:
         "url_canon": q_url_canon,
         "boilerplate": q_boilerplate,
         "ann_ivf": q_ann_ivf,
+        "gopher_rules": q_gopher_rules,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
@@ -651,6 +713,7 @@ def ops_oracle_sql() -> dict:
         "url_canon": SQL_URL_CANON,
         "boilerplate": SQL_BOILERPLATE,
         "ann_ivf": SQL_ANN_IVF,
+        "gopher_rules": SQL_GOPHER_RULES,
         "simhash": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
     }

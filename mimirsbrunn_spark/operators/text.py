@@ -210,3 +210,74 @@ def strip_boilerplate(
             id_col,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (public web-corpus filtering heuristics:
+# Gopher / RefinedWeb / CCNet family). All pure column math.
+# ---------------------------------------------------------------------------
+
+
+def mean_word_length(text_col):
+    """Mean token length over whitespace tokens (0 for empty text)."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n = F.size(toks)
+    empty = F.trim(text_col) == ""
+    return F.when(empty, F.lit(0.0)).otherwise(total / n)
+
+
+def repetition_ratio(text_col, n: int = 2):
+    """1 - distinct n-grams / total n-grams over word n-grams — high values
+    mark boilerplate-ish repetitive text (the Gopher duplicate-n-gram rule).
+    0 when fewer than n tokens."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    enough = F.size(toks) >= n
+    return F.when(
+        enough, 1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text_col, symbols: str = "#…"):
+    """Symbol occurrences per word (the Gopher symbol-to-word rule)."""
+    from pyspark.sql import functions as F
+
+    cls = "".join("\\" + c for c in symbols)
+    n_sym = F.length(text_col) - F.length(F.regexp_replace(text_col, f"[{cls}]", ""))
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+    return n_sym / F.greatest(F.size(toks), F.lit(1))
+
+
+def alpha_word_ratio(text_col):
+    """Fraction of tokens containing at least one alphabetic character
+    (the Gopher 80%-alpha-words rule)."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return n_alpha / F.greatest(F.size(toks), F.lit(1))
+
+
+def gopher_quality(text_col, min_words: int = 50, max_words: int = 100_000,
+                   max_mean_word_len: float = 10.0, max_symbol_ratio: float = 0.1,
+                   min_alpha_ratio: float = 0.8, max_repetition: float = 0.3):
+    """The combined pass/fail rule bundle. Returns a boolean Column."""
+    from pyspark.sql import functions as F
+
+    n = token_count(text_col)
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_word_length(text_col) <= max_mean_word_len)
+        & (symbol_word_ratio(text_col) <= max_symbol_ratio)
+        & (alpha_word_ratio(text_col) >= min_alpha_ratio)
+        & (repetition_ratio(text_col) <= max_repetition)
+    )

@@ -630,3 +630,36 @@ def test_boilerplate_strip(spark):
     assert out[1] == ("unique alpha text", 1)
     assert out[4] == ("delta body only", 0)
     assert out[5] == ("single doc host. " + footer, 0)  # exempt host intact
+
+
+def test_gopher_rules(spark):
+    """Gopher-style rules vs hand-computed values."""
+    from mimirsbrunn_spark.operators.text import (
+        alpha_word_ratio,
+        mean_word_length,
+        repetition_ratio,
+        symbol_word_ratio,
+    )
+
+    rows = [
+        (1, "spam spam spam spam"),           # bigrams: 3 total, 1 distinct
+        (2, "one two three four"),            # all distinct
+        (3, "a## b…… c"),                     # 4 symbols / 3 words
+        (4, "123 456 word"),                  # 1/3 alpha words
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = F.col("text")
+    got = {r.doc_id: r for r in df.select(
+        "doc_id",
+        F.round(repetition_ratio(c), 6).alias("rep"),
+        F.round(mean_word_length(c), 6).alias("mwl"),
+        F.round(symbol_word_ratio(c), 6).alias("sym"),
+        F.round(alpha_word_ratio(c), 6).alias("alpha"),
+    ).collect()}
+    assert got[1].rep == round(1 - 1 / 3, 6)
+    assert got[2].rep == 0.0
+    assert got[1].mwl == 4.0
+    assert got[3].sym == round(4 / 3, 6)
+    assert got[4].alpha == round(1 / 3, 6)
+    assert got[5].rep == 0.0 and got[5].mwl == 0.0
