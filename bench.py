@@ -14,7 +14,7 @@ Timings use a noop-format write (full execution, no driver collect).
 
 Noise control: the sandbox host throttles CPU in bursts (identical runs vary
 2-4x — measured, see BENCH/BASELINE.md), so each query runs
-$SPARK_GRAFT_BENCH_REPS times (default 2) and the MIN is reported — the
+$SPARK_GRAFT_BENCH_REPS times (default 3) and the MIN is reported — the
 standard noise-robust estimator on shared VMs. Set reps=1 to reproduce the
 round-1 single-shot methodology.
 """
@@ -47,7 +47,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
-    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")), 1)
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
 
     def timed(fn) -> float:
         best = float("inf")
