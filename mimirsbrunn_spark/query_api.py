@@ -130,3 +130,38 @@ def table_report(spark: SparkSession, out_dir: str) -> dict:
             "latest": max((r.partition_id for r in rows), default=None),
         }
     return report
+
+
+def read_chunks(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str,
+    t0: int | None = None,
+    t1: int | None = None,
+    hosts: list[str] | None = None,
+) -> DataFrame:
+    """Serve the host-level series directly FROM COMPRESSED chunk storage:
+    chunk rows are pruned by host and coarse time range (chunk_start /
+    n_points bounds — a chunk is touched only if it can intersect [t0, t1)),
+    then decoded (vectorized three-phase decode) and row-filtered exactly.
+    The compressed read path a 100 TB serving tier uses instead of the
+    uncompressed rollup tables."""
+    from . import codecs
+    from .series import TIER_SECONDS
+
+    tbl = SnapshotTable(f"{out_dir}/chunks_{tier}")
+    df = tbl.read(spark)
+    if hosts:
+        df = df.filter(F.col("host").isin(hosts))
+    step = TIER_SECONDS[tier]
+    if t1 is not None:
+        df = df.filter(F.col("chunk_start").cast("long") < t1)
+    if t0 is not None:
+        # a chunk ends at most n_points * step after its start
+        df = df.filter(F.col("chunk_start").cast("long") + F.col("n_points") * step > t0)
+    out = codecs.decode_chunks(df)
+    if t0 is not None:
+        out = out.filter(F.col("bucket_ts").cast("long") >= t0)
+    if t1 is not None:
+        out = out.filter(F.col("bucket_ts").cast("long") < t1)
+    return out

@@ -242,3 +242,31 @@ def test_table_report(spark, small_pages_path, tmp_path):
     assert rep["tables"]["rollup_1h"]["snapshot_id"] >= 1
     assert rep["lineage"]["partitions_done"] == rep["tables"]["series_1m"]["partitions"]
     assert rep["lineage"]["latest"].startswith("day=")
+
+
+def test_read_chunks_equals_rollup(spark, small_pages_path, tmp_path):
+    """Serving from compressed chunks == the uncompressed host series, incl.
+    with a time-range + host filter (chunk pruning correct at boundaries)."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark import tiers
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+    from mimirsbrunn_spark.query_api import read_chunks
+
+    out = str(tmp_path / "out_rc")
+    run_rollup_job(spark, small_pages_path, out)
+    hs = tiers.host_series(SnapshotTable(f"{out}/rollup_1h").read(spark))
+
+    full = read_chunks(spark, out, "1h").drop("tier")
+    assert full.exceptAll(hs).count() == 0 and hs.exceptAll(full).count() == 0
+
+    bounds = hs.agg(F.min(F.col("bucket_ts").cast("long")).alias("lo"),
+                    F.max(F.col("bucket_ts").cast("long")).alias("hi")).collect()[0]
+    t0, t1 = bounds.lo + 3600 * 5, bounds.hi - 3600 * 5
+    host = hs.select("host").distinct().orderBy("host").first().host
+    got = read_chunks(spark, out, "1h", t0=t0, t1=t1, hosts=[host]).drop("tier")
+    want = hs.filter((F.col("host") == host)
+                     & (F.col("bucket_ts").cast("long") >= t0)
+                     & (F.col("bucket_ts").cast("long") < t1))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
