@@ -256,13 +256,13 @@ def decode_gorilla(data: bytes, first_val: int, n: int) -> np.ndarray:
 CHUNK_SCHEMA = (
     "host string, tier string, chunk_start timestamp, ts_dod binary, "
     "val_gorilla binary, bytes_gorilla binary, n_points int, first_ts long, "
-    "first_val long, first_bytes long"
+    "first_val long, first_bytes long, last_ts long"
 )
 
 
 def _encode_group_fn(max_points):
     def _encode_group(key, pdf):
-        host, tier = key
+        host, tier = key[0], key[1]  # key may carry a trailing _month split key
         pdf = pdf.sort_values("bucket_ts", kind="mergesort")
         sec = (pdf["bucket_ts"].astype("datetime64[us]").astype("int64") // 1_000_000).to_numpy()
         dc = pdf["doc_count"].to_numpy().astype(np.int64)
@@ -270,7 +270,7 @@ def _encode_group_fn(max_points):
         step = max_points or len(sec) or 1
         rows = {k: [] for k in (
             "host", "tier", "chunk_start", "ts_dod", "val_gorilla", "bytes_gorilla",
-            "n_points", "first_ts", "first_val", "first_bytes")}
+            "n_points", "first_ts", "first_val", "first_bytes", "last_ts")}
         for lo in range(0, len(sec), step):
             hi = min(lo + step, len(sec))
             rows["host"].append(host)
@@ -283,26 +283,62 @@ def _encode_group_fn(max_points):
             rows["first_ts"].append(int(sec[lo]))
             rows["first_val"].append(int(dc[lo]))
             rows["first_bytes"].append(int(bs[lo]))
+            # Actual last point (NOT chunk_start + n_points*step): the host
+            # series is not gap-filled, so a chunk's span is unbounded by its
+            # point count — time-range pruning must use the real extent.
+            rows["last_ts"].append(int(sec[hi - 1]))
         return pd.DataFrame(rows)
 
     return _encode_group
 
 
 def encode_chunks(
-    host_series_df: DataFrame, tier: str, max_points_per_chunk: int | None = None
+    host_series_df: DataFrame,
+    tier: str,
+    max_points_per_chunk: int | None = None,
+    split_by_month: bool = False,
 ) -> DataFrame:
     """Host-level tier series → compressed chunks per (host, tier).
     ``max_points_per_chunk`` splits long series into multiple chunks (the
     100 TB path: bounded chunk size → bounded decode/update units and
     time-range pruning by chunk_start); default one chunk per host (matches
-    the golden oracle chunks)."""
+    the golden oracle chunks). ``split_by_month`` additionally closes chunks
+    at UTC month boundaries (the groupby-key time extension): every point of
+    a chunk then falls inside month(chunk_start), which is what makes
+    partition-level month pruning of the published chunk table EXACT — a
+    month-spanning chunk would otherwise be invisible to it."""
     from pyspark.sql import functions as F
 
-    return (
-        host_series_df.withColumn("tier", F.lit(tier))
-        .groupBy("host", "tier")
-        .applyInPandas(_encode_group_fn(max_points_per_chunk), schema=CHUNK_SCHEMA)
+    df = host_series_df.withColumn("tier", F.lit(tier))
+    keys = ["host", "tier"]
+    if split_by_month:
+        df = df.withColumn("_month", F.date_format("bucket_ts", "yyyy-MM"))
+        keys.append("_month")
+    return df.groupBy(*keys).applyInPandas(
+        _encode_group_fn(max_points_per_chunk), schema=CHUNK_SCHEMA
     )
+
+
+def chunk_partition_col(host_buckets: int):
+    """Composite partition key for published chunk tables:
+    '<host bucket>|<month of chunk_start>'. Host bucket = crc32(host) %
+    host_buckets — crc32 is computable identically driver-side
+    (zlib.crc32), so the read path can map requested hosts to buckets
+    without a Spark job. Requires encode_chunks(split_by_month=True) for
+    the month half to be a sound pruning key."""
+    from pyspark.sql import functions as F
+
+    hb = F.lpad(
+        F.pmod(F.crc32(F.col("host")), F.lit(host_buckets)).cast("string"), 4, "0"
+    )
+    return F.concat_ws("|", hb, F.date_format("chunk_start", "yyyy-MM"))
+
+
+def chunk_host_bucket(host: str, host_buckets: int) -> str:
+    """Driver-side twin of the host-bucket half of chunk_partition_col."""
+    import zlib
+
+    return format(zlib.crc32(host.encode("utf-8")) % host_buckets, "04d")
 
 
 def decode_chunks_pdf(chunks: pd.DataFrame) -> pd.DataFrame:

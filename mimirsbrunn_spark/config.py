@@ -31,6 +31,9 @@ class EngineConfig:
     # Bounded chunks are the 100 TB path: bounded decode/update units and
     # time-range pruning by chunk_start.
     chunk_max_points: int | None = None
+    # published chunk tables: host-bucket count of the composite
+    # '<host bucket>|<month>' partition key (read-path host pruning)
+    host_buckets: int = 16
     # dedup / similarity defaults
     minhash_k: int = 32
     minhash_bands: int = 16

@@ -104,7 +104,13 @@ def apply_multiword_synonyms(text_col, synonyms: dict | None = None) -> Column:
     _, string_level = _split_synonyms(synonyms)
     out = text_col
     for k in sorted(string_level, key=len, reverse=True):
-        out = F.regexp_replace(out, rf"\b{k}\b", string_level[k])
+        # Quote the key (\Q..\E — user-supplied synonyms may contain regex
+        # metacharacters) and escape $ / \ in the replacement (group-ref
+        # syntax in Java's replaceAll). Lookarounds instead of \b: a key
+        # edge may itself be a non-word char (e.g. 'c++'), where \b would
+        # demand a word char next door and never match.
+        repl = string_level[k].replace("\\", "\\\\").replace("$", "\\$")
+        out = F.regexp_replace(out, rf"(?<!\w)\Q{k}\E(?!\w)", repl)
     return out
 
 

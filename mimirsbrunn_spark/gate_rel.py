@@ -674,6 +674,7 @@ def rel_queries() -> dict:
         "zips_max_level": q_zips_max_level,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "search_scored": q_search_scored,
     }
 
 
@@ -700,6 +701,7 @@ def rel_oracle_sql() -> dict:
         "zips_max_level": SQL_ZIPS_MAX_LEVEL,
         "asof_join": SQL_ASOF_JOIN,
         "sessionize": SQL_SESSIONIZE,
+        "search_scored": SQL_SEARCH_SCORED,
     }
 
 # --- O3: natural ("human") sort — "line 3" < "line 11"
@@ -724,4 +726,89 @@ SELECT o_orderkey, 'line ' || CAST(o_orderkey % 25 AS VARCHAR) AS label,
        CAST(row_number() OVER (ORDER BY o_orderkey % 25, o_orderkey) AS BIGINT) AS rank
 FROM orders
 ORDER BY rank LIMIT 200
+"""
+
+
+# --- §2.9: the composed scored-search entry point (search.py — build_query,
+#     /root/reference/libs/bragi/src/query.rs:175-462 + two-pass fallback
+#     query.rs:667-714). Pins: 4-token query (msm required=2), doc-type
+#     whitelist, per-type boosts × log1p(field_value_factor) importance,
+#     match-ratio should term, coverage semi-join vs lineitem, offset+limit
+#     paging on the ROUNDED score (cross-engine-stable ordering). ------------
+
+SEARCH_QUERY = "spring green yellow puff"
+SEARCH_TYPES = ["Brand#11", "Brand#12", "Brand#13", "Brand#21", "Brand#22"]
+SEARCH_TYPE_WEIGHTS = {
+    "Brand#11": 2.0,
+    "Brand#12": 1.5,
+    "Brand#13": 1.2,
+    "Brand#21": 1.0,
+    "Brand#22": 0.8,
+}
+
+
+def q_search_scored(spark, sf_dir):
+    from .search import SearchParams, search
+
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    docs = p.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("label"),
+        F.col("p_brand").alias("doc_type"),
+        F.col("p_retailprice").alias("weight"),
+    )
+    params = SearchParams(
+        query=SEARCH_QUERY,
+        types=SEARCH_TYPES,
+        type_weights=SEARCH_TYPE_WEIGHTS,
+        weight_factor=0.001,
+        weight_missing=0.0,
+        weight_modifier="log1p",
+        match_boost=0.5,
+        offset=5,
+        limit=50,
+    )
+    return search(
+        docs,
+        params,
+        coverage=li.select(F.col("l_partkey").alias("id")),
+        coverage_on="id",
+    )
+
+
+_SEARCH_TW_SQL = " ".join(
+    f"WHEN '{t}' THEN {w}" for t, w in SEARCH_TYPE_WEIGHTS.items()
+)
+_SEARCH_TOKENS_SQL = ", ".join(f"'{t}'" for t in SEARCH_QUERY.split())
+
+SQL_SEARCH_SCORED = f"""
+WITH docs AS (
+  SELECT p_partkey AS id, p_name AS label, p_brand AS doc_type, p_retailprice AS weight
+  FROM part
+  WHERE p_brand IN ({", ".join(f"'{t}'" for t in SEARCH_TYPES)})
+    AND p_partkey IN (SELECT l_partkey FROM lineitem)
+),
+scored AS (
+  SELECT id, label, doc_type,
+         ROUND((CASE doc_type {_SEARCH_TW_SQL} ELSE 0.0 END)
+                 * ln(1 + COALESCE(weight, 0.0) * 0.001)
+               + 0.5 * (CAST(len(list_filter([{_SEARCH_TOKENS_SQL}],
+                         t -> list_contains(string_split(label, ' '), t))) AS DOUBLE) / 4.0),
+               6) AS score_r,
+         CAST(len(list_filter([{_SEARCH_TOKENS_SQL}],
+              t -> list_contains(string_split(label, ' '), t))) AS BIGINT) AS ov
+  FROM docs
+),
+p1 AS (
+  SELECT id, label, doc_type, score_r, 1 AS pass_no
+  FROM scored WHERE label LIKE '{SEARCH_QUERY}%'
+),
+p2 AS (
+  SELECT id, label, doc_type, score_r, 2 AS pass_no
+  FROM scored WHERE ov >= 2 AND NOT EXISTS (SELECT 1 FROM p1)
+)
+SELECT id, label, doc_type, score_r, pass_no
+FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+ORDER BY score_r DESC, id ASC LIMIT 50 OFFSET 5
 """

@@ -49,6 +49,25 @@ class SimulatedFailure(RuntimeError):
     """Raised by the fail_after test hook to emulate a mid-job crash."""
 
 
+def enumerate_days(spark, input_tbl, pages) -> list[str]:
+    """The job's input partitions (ISO days of warc_ts), cheapest first:
+    a day-partitioned SnapshotTable input already LISTS its partition values
+    in the manifest — enumeration is pure driver-side manifest arithmetic,
+    NO Spark job (at 100 TB: the Iceberg .partitions metadata view, never a
+    distinct() over a trillion rows). Only an unpartitioned input falls back
+    to a distinct scan of the day column."""
+    if input_tbl is not None:
+        snap = input_tbl.snapshot(input_tbl.current_snapshot_id())
+        vals = sorted({v for v in snap.partitions.values() if v})
+        if vals:
+            return vals
+        pages = input_tbl.read(spark)
+    return [
+        r.d.isoformat()
+        for r in pages.select(F.to_date("warc_ts").alias("d")).distinct().orderBy("d").collect()
+    ]
+
+
 def _checksum(df) -> str:
     """Deterministic order-independent content checksum: XOR of per-row
     xxhash64 over all columns (bit_xor is commutative + overflow-free,
@@ -95,13 +114,10 @@ def run_rollup_job(
     input_tbl = None
     if os.path.isdir(os.path.join(pages_path, "_snapshots")):
         input_tbl = SnapshotTable(pages_path)
-        pages = input_tbl.read(spark)
+        pages = None
     else:
         pages = read_pages(spark, pages_path)
-    days = [
-        r.d.isoformat()
-        for r in pages.select(F.to_date("warc_ts").alias("d")).distinct().orderBy("d").collect()
-    ]
+    days = enumerate_days(spark, input_tbl, pages)
     done = lineage.committed_partitions(spark)
     todo = [d for d in days if f"day={d}" not in done]
 
@@ -155,23 +171,45 @@ def run_rollup_job(
             raise SimulatedFailure(f"injected failure after {processed} partitions")
 
     # Derived artifacts: rebuilt from the committed series (idempotent).
+    # Every published table is PARTITIONED so the serving read path
+    # (query_api.read_rollup / read_chunks) prunes at the MANIFEST level:
+    # tier/gapfill tables by a coarse ISO time prefix of bucket_ts
+    # (tiers.partition_key_col — granularity matched to bucket density),
+    # chunk tables by the composite '<host bucket>|<month>' key (chunks are
+    # closed at month boundaries via split_by_month, making month pruning
+    # exact). At 100× an unpartitioned commit here turns every narrow
+    # t0/t1/host query into a full-table scan.
     t0 = time.time()
     base = series_tbl.read(spark)
     tier_dfs = tiers.cascade(base)
     out_tables = {}
     for tier in ("1h", "1d", "30d"):
         tbl = tf(f"rollup_{tier}")
-        tbl.commit(tier_dfs[tier], mode="replace", meta={"tier": tier})
+        tbl.commit(
+            tier_dfs[tier].withColumn("pkey", tiers.partition_key_col(tier)),
+            mode="replace",
+            meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1]},
+            partition_by="pkey",
+        )
         out_tables[f"rollup_{tier}"] = tbl
         hs = tiers.host_series(tier_dfs[tier])
         gf_tbl = tf(f"gapfill_{tier}")
-        gf_tbl.commit(gapfill.gapfill(hs, tier), mode="replace", meta={"tier": tier})
+        gf_tbl.commit(
+            gapfill.gapfill(hs, tier).withColumn("pkey", tiers.partition_key_col(tier)),
+            mode="replace",
+            meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1]},
+            partition_by="pkey",
+        )
         out_tables[f"gapfill_{tier}"] = gf_tbl
         ch_tbl = tf(f"chunks_{tier}")
+        ch = codecs.encode_chunks(
+            hs, tier, max_points_per_chunk=cfg.chunk_max_points, split_by_month=True
+        ).withColumn("pkey", codecs.chunk_partition_col(cfg.host_buckets))
         ch_tbl.commit(
-            codecs.encode_chunks(hs, tier, max_points_per_chunk=cfg.chunk_max_points),
+            ch,
             mode="replace",
-            meta={"tier": tier},
+            meta={"tier": tier, "host_buckets": cfg.host_buckets, "month_split": True},
+            partition_by="pkey",
         )
         out_tables[f"chunks_{tier}"] = ch_tbl
     metrics.record(spark, job_id, stage="derived", kv={"seconds": time.time() - t0})
@@ -189,9 +227,12 @@ def run_rollup_job(
             cutoff_day = dt.datetime.fromtimestamp(
                 retention_now_epoch - policy_1m, dt.timezone.utc
             ).date().isoformat()
-            before = series_tbl.read(spark).count()
+            # before/after from manifest arithmetic (snapshot row_count is
+            # footer-stat math) — a count() here would be two full scans of
+            # the series table per retention run, pure control-path waste.
+            before = series_tbl.row_count()
             series_tbl.drop_partitions(spark, below=cutoff_day, meta={"retention": "1m"})
-            expired["1m_partitions"] = before - series_tbl.read(spark).count()
+            expired["1m_partitions"] = before - series_tbl.row_count()
         for tier in ("1h", "1d", "30d"):
             expired[tier] = retention.expire_tier(
                 spark,
@@ -208,7 +249,8 @@ def run_rollup_job(
         "days_total": len(days),
         "days_processed": processed,
         "days_skipped": len(days) - len(todo),
-        "series_rows": series_tbl.read(spark).count(),
+        # manifest arithmetic, not a table scan
+        "series_rows": series_tbl.row_count(),
     }
 
 

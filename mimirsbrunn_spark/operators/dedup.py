@@ -317,6 +317,11 @@ def connected_components(
     lineage is cut with localCheckpoint every ``checkpoint_every`` rounds
     (iterative plans otherwise grow unboundedly).
 
+    The convergence check is FOLDED into the label aggregation: each
+    vertex's own row carries its previous label through the union, so the
+    round's single groupBy emits both the new label (min) and the old one
+    (max of the non-null carrier) — no extra old-vs-new join per round.
+
     Scale: each round is one shuffle keyed by vertex id over |V|+|E| rows —
     no collect; a 10^9-edge pair set runs the same plan."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -327,24 +332,23 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
+    comp_type = labels.schema["component"].dataType
     for i in range(max_iter):
-        prop = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .select(F.col("dst").alias("id"), "component")
+        own = labels.select("id", "component", F.col("component").alias("_old"))
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"),
+            "component",
+            F.lit(None).cast(comp_type).alias("_old"),
         )
-        new_labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("component").alias("component"))
+        merged = own.unionByName(prop).groupBy("id").agg(
+            F.min("component").alias("component"),
+            # every id has exactly one own row; max ignores the neighbor NULLs
+            F.max("_old").alias("_old"),
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+            merged = merged.localCheckpoint(eager=True)
+        changed = merged.filter(F.col("component") != F.col("_old")).limit(1).count()
+        labels = merged.drop("_old")
         if changed == 0:
             break
     return labels

@@ -38,9 +38,11 @@ def _cells_for_bbox(minx, miny, maxx, maxy, cell: float):
     ]
 
 
-def polygons_with_cells(polys: DataFrame, cell: float = 1.0) -> DataFrame:
+def polygons_with_cells(polys: DataFrame, cell: float = 1.0, pad: float = 0.0) -> DataFrame:
     """Explode polygons to covering grid cells + attach bbox columns.
-    Built-ins only: bbox from array min/max, cells via sequence×sequence."""
+    Built-ins only: bbox from array min/max, cells via sequence×sequence.
+    ``pad`` expands the CELL coverage (not the bbox columns) by a distance —
+    the within-``pad`` candidate-generation primitive for distance queries."""
     p = polys.select(
         "*",
         F.array_min("xs").alias("minx"),
@@ -49,10 +51,12 @@ def polygons_with_cells(polys: DataFrame, cell: float = 1.0) -> DataFrame:
         F.array_max("ys").alias("maxy"),
     )
     cxs = F.sequence(
-        F.floor(F.col("minx") / cell).cast("int"), F.floor(F.col("maxx") / cell).cast("int")
+        F.floor((F.col("minx") - pad) / cell).cast("int"),
+        F.floor((F.col("maxx") + pad) / cell).cast("int"),
     )
     cys = F.sequence(
-        F.floor(F.col("miny") / cell).cast("int"), F.floor(F.col("maxy") / cell).cast("int")
+        F.floor((F.col("miny") - pad) / cell).cast("int"),
+        F.floor((F.col("maxy") + pad) / cell).cast("int"),
     )
     return (
         p.withColumn("cx", F.explode(cxs))
@@ -215,6 +219,27 @@ def point_boundary_distance(points: DataFrame, polys: DataFrame) -> DataFrame:
     return pairs.mapInPandas(
         _boundary_dist_batch, schema="point_id long, poly_id long, boundary_dist double"
     )
+
+
+def point_boundary_distance_bucketed(
+    points: DataFrame, polys: DataFrame, cell: float = 1.0, max_dist: float = 1.0
+) -> DataFrame:
+    """Scale path for G4: (point_id, poly_id, boundary_dist) for every pair
+    within ``max_dist`` of each other — candidate pairs come from a cell
+    EQUI-join (polygon cells padded by max_dist), never a cross join, so the
+    plan has no CartesianProduct/BroadcastNestedLoopJoin and the work is
+    proportional to nearby pairs, not |points|×|polys|. Complete for all
+    pairs with boundary_dist <= max_dist (a polygon within max_dist of a
+    point covers that point's cell after padding); farther pairs are
+    dropped — the same contract as the reference's bounded R-tree distance
+    probes (admin_geofinder.rs:85-94)."""
+    pc = points_with_cell(points.select("point_id", "x", "y"), cell)
+    gc = polygons_with_cells(polys.select("poly_id", "xs", "ys"), cell, pad=max_dist)
+    cand = pc.join(gc, "cell_id").select("point_id", "x", "y", "poly_id", "xs", "ys")
+    out = cand.mapInPandas(
+        _boundary_dist_batch, schema="point_id long, poly_id long, boundary_dist double"
+    )
+    return out.filter(F.col("boundary_dist") <= max_dist)
 
 
 def nearest_neighbor_join(

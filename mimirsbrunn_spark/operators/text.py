@@ -180,7 +180,14 @@ def strip_boilerplate(
 ):
     """Documents with boilerplate segments removed: segments re-joined with
     '. ' in original order (posexplode keeps positions). Returns
-    (id, host, clean_text, n_removed)."""
+    (id, host, clean_text, n_removed).
+
+    PINNED semantics: a document whose segments are ALL boilerplate is
+    KEPT, with clean_text = '' and n_removed = its segment count — the
+    curation funnel decides whether to drop empties (an explicit,
+    observable step), the strip operator never disappears a document.
+    One groupBy over the marked segments (kept text and removed count are
+    aggregated together — no second shuffle/join)."""
     from pyspark.sql import functions as F
 
     boiler = boilerplate_segments(
@@ -192,22 +199,24 @@ def strip_boilerplate(
         F.posexplode(_segments(F.col(text_col))).alias("pos", "seg"),
     ).withColumn("seg_norm", F.trim(F.lower("seg")))
     marked = seg.join(boiler, ["host", "seg_norm"], "left")
-    kept = marked.filter(F.col("_is_boiler").isNull())
     return (
-        kept.groupBy("id", "host")
+        marked.groupBy("id", "host")
         .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "seg"))).alias("_segs"),
+            # when() without otherwise yields NULL for boilerplate rows and
+            # collect_list skips NULLs — an all-boilerplate doc aggregates to
+            # an empty array, not to a missing group
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_is_boiler").isNull(), F.struct("pos", "seg"))
+                )
+            ).alias("_segs"),
+            F.sum(F.when(F.col("_is_boiler"), 1).otherwise(0)).alias("n_removed"),
         )
         .select(
             F.col("id").alias(id_col),
             F.col("host").alias(host_col),
             F.array_join(F.col("_segs.seg"), ". ").alias("clean_text"),
-        )
-        .join(
-            marked.groupBy("id").agg(
-                F.sum(F.when(F.col("_is_boiler"), 1).otherwise(0)).alias("n_removed")
-            ).withColumnRenamed("id", id_col),
-            id_col,
+            "n_removed",
         )
     )
 

@@ -42,11 +42,19 @@ def read_rollup(
     limit: int | None = None,
     offset: int = 0,
 ) -> DataFrame:
-    """Query a published tier. Filters are plain predicates (partition/file
-    pruning at the scan); ``fill`` ∈ {None, 'locf', 'linear'} applies
-    on-demand gap-fill to the host-level series."""
+    """Query a published tier. t0/t1 are translated into a partition-key
+    string range first (MANIFEST pruning — only files whose coarse time
+    partition can intersect [t0, t1) are handed to the scan; see
+    tiers.partition_bounds), then re-applied as exact row predicates;
+    ``fill`` ∈ {None, 'locf', 'linear'} applies on-demand gap-fill to the
+    host-level series."""
+    from .tiers import partition_bounds
+
     tbl = SnapshotTable(f"{out_dir}/rollup_{tier}" if tier != "1m" else f"{out_dir}/series_1m")
-    df = tbl.read(spark)
+    p_lo, p_hi = partition_bounds(tier, t0, t1)
+    df = tbl.read(spark, partition_min=p_lo, partition_max=p_hi)
+    # partition-key columns ride in the data files; not part of the API
+    df = df.drop("pkey", "day")
     if t0 is not None:
         df = df.filter(F.col("bucket_ts").cast("long") >= t0)
     if t1 is not None:
@@ -140,25 +148,68 @@ def read_chunks(
     t1: int | None = None,
     hosts: list[str] | None = None,
 ) -> DataFrame:
-    """Serve the host-level series directly FROM COMPRESSED chunk storage:
-    chunk rows are pruned by host and coarse time range (chunk_start /
-    n_points bounds — a chunk is touched only if it can intersect [t0, t1)),
-    then decoded (vectorized three-phase decode) and row-filtered exactly.
+    """Serve the host-level series directly FROM COMPRESSED chunk storage.
+
+    Pruning, outermost first:
+    1. MANIFEST level — the published chunk table is partitioned by the
+       composite '<host bucket>|<month>' key (rollup_job), so requested
+       hosts map to crc32 buckets driver-side and t0/t1 to a month range;
+       files outside either never reach the scan. Sound because rollup_job
+       encodes with split_by_month=True (no chunk spans a month).
+    2. chunk-row level — chunk_start < t1 and the chunk's RECORDED last
+       point >= t0 (last_ts, written at encode time).
+    3. exact row filters after the vectorized decode.
     The compressed read path a 100 TB serving tier uses instead of the
     uncompressed rollup tables."""
     from . import codecs
     from .series import TIER_SECONDS
 
     tbl = SnapshotTable(f"{out_dir}/chunks_{tier}")
-    df = tbl.read(spark)
+    pred = None
+    sid = tbl.current_snapshot_id()
+    meta = tbl.snapshot(sid).meta if sid is not None else {}
+    nb = meta.get("host_buckets")
+    month_split = bool(meta.get("month_split"))
+    if (hosts and nb) or (month_split and (t0 is not None or t1 is not None)):
+        import datetime as dt
+
+        hb_set = (
+            {codecs.chunk_host_bucket(h, int(nb)) for h in hosts} if hosts and nb else None
+        )
+        m_lo = (
+            dt.datetime.fromtimestamp(t0, dt.timezone.utc).strftime("%Y-%m")
+            if month_split and t0 is not None
+            else None
+        )
+        m_hi = (
+            dt.datetime.fromtimestamp(t1 - 1, dt.timezone.utc).strftime("%Y-%m")
+            if month_split and t1 is not None
+            else None
+        )
+
+        def pred(v: str) -> bool:
+            hb, sep, month = v.partition("|")
+            if hb_set is not None and hb not in hb_set:
+                return False
+            if sep:  # composite key carries the month half
+                if m_lo is not None and month < m_lo:
+                    return False
+                if m_hi is not None and month > m_hi:
+                    return False
+            return True
+
+    df = tbl.read(spark, partition_filter=pred).drop("pkey")
     if hosts:
         df = df.filter(F.col("host").isin(hosts))
-    step = TIER_SECONDS[tier]
+    _ = TIER_SECONDS[tier]  # validates the tier name
     if t1 is not None:
         df = df.filter(F.col("chunk_start").cast("long") < t1)
     if t0 is not None:
-        # a chunk ends at most n_points * step after its start
-        df = df.filter(F.col("chunk_start").cast("long") + F.col("n_points") * step > t0)
+        # Prune on the chunk's RECORDED last point (last_ts, written at encode
+        # time). The host series is not gap-filled, so estimating the extent as
+        # chunk_start + n_points*step under-counts any chunk with gaps and
+        # would silently drop chunks that still hold points >= t0.
+        df = df.filter(F.col("last_ts") >= t0)
     out = codecs.decode_chunks(df)
     if t0 is not None:
         out = out.filter(F.col("bucket_ts").cast("long") >= t0)

@@ -109,8 +109,15 @@ def _anomaly_fn(alpha: float, k: float, warmup: int):
             n += 1
             late = 0
 
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
+        # A large group spans multiple Arrow chunks with no cross-chunk
+        # ordering guarantee — concatenate and sort ONCE so an earlier
+        # timestamp arriving in a later chunk isn't misclassified as late
+        # (determinism must not depend on arrow.maxRecordsPerBatch).
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["warc_ts", "url"], kind="mergesort"
+            )
             for ts in pdf["warc_ts"]:
                 minute = int(pd.Timestamp(ts).value // 1_000_000_000) // 60
                 if minute == cur_min:

@@ -46,6 +46,8 @@ class TableIO(Protocol):
 
     def partition_row_count(self, value: str) -> int: ...
 
+    def row_count(self) -> int: ...
+
 
 class IcebergTable:
     """Iceberg-catalog adapter. ``ident`` is the catalog table identifier
@@ -123,3 +125,12 @@ class IcebergTable:
             f"WHERE CAST(partition.{col} AS STRING) = '{value}'"
         ).collect()
         return int(rows[0][0] or 0)
+
+    def row_count(self) -> int:
+        """Current row count from the snapshot summary ('total-records') —
+        Iceberg metadata, no data scan."""
+        rows = self.spark.sql(
+            f"SELECT summary['total-records'] FROM {self.ident}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows and rows[0][0] is not None else 0

@@ -223,14 +223,27 @@ class SnapshotTable:
             lambda v: v in values, {**(meta or {}), "dropped_values": sorted(values)}
         )
 
+    @staticmethod
+    def _file_rows(snap: Snapshot, f: str) -> int:
+        """Per-file row count: manifest stats, falling back to the parquet
+        FOOTER for legacy manifests that predate file_rows — never a silent
+        0 (that would under-report row_count / lineage day_rows)."""
+        n = snap.file_rows.get(f)
+        if n is None:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(f).metadata.num_rows
+        return n
+
     def _drop_files(self, pred, meta: dict) -> int:
         """Publish a snapshot keeping only files whose partition value fails
-        ``pred``. Pure manifest arithmetic — no Spark job."""
+        ``pred``. Pure manifest arithmetic — no Spark job (footer reads only
+        for legacy pre-file_rows manifests)."""
         with self._lock():
             cur = self.snapshot(self.current_snapshot_id())
             keep = [f for f in cur.files if not pred(cur.partitions.get(f, ""))]
             parts = {f: cur.partitions.get(f, "") for f in keep}
-            frows = {f: cur.file_rows.get(f, 0) for f in keep}
+            frows = {f: self._file_rows(cur, f) for f in keep}
             rows = sum(frows.values())
             return self._publish(cur.snapshot_id, keep, rows, parts, frows, cur.schema_json, meta)
 
@@ -242,11 +255,14 @@ class SnapshotTable:
         partition_min: str | None = None,
         partition_max: str | None = None,
         partition_values: set[str] | None = None,
+        partition_filter=None,
     ) -> DataFrame:
         sid = self.current_snapshot_id()
         if sid is None:
             raise FileNotFoundError(f"table {self.path} has no snapshot")
-        return self.read_at(spark, sid, partition_min, partition_max, partition_values)
+        return self.read_at(
+            spark, sid, partition_min, partition_max, partition_values, partition_filter
+        )
 
     def read_at(
         self,
@@ -255,20 +271,32 @@ class SnapshotTable:
         partition_min: str | None = None,
         partition_max: str | None = None,
         partition_values: set[str] | None = None,
+        partition_filter=None,
     ) -> DataFrame:
         """Read a snapshot; optional manifest-level partition pruning — only
         files whose partition value falls in [partition_min, partition_max]
-        (range) or in ``partition_values`` (discrete set — the bucket-probe
-        path) are handed to the scan (no file listing, no footer reads for
-        pruned files)."""
+        (range), in ``partition_values`` (discrete set — the bucket-probe
+        path), or satisfies ``partition_filter`` (an arbitrary value→bool
+        predicate, the Iceberg partition-predicate analog for composite
+        keys) are handed to the scan (no file listing, no footer reads for
+        pruned files). Files with an empty partition value (unpartitioned
+        legacy commits) always pass — pruning is never allowed to hide data
+        the manifest can't bound."""
         snap = self.snapshot(snapshot_id)
         files = snap.files
-        if partition_min is not None or partition_max is not None or partition_values is not None:
+        if (
+            partition_min is not None
+            or partition_max is not None
+            or partition_values is not None
+            or partition_filter is not None
+        ):
             def ok(f):
                 v = snap.partitions.get(f, "")
                 if v == "":
                     return True
                 if partition_values is not None and v not in partition_values:
+                    return False
+                if partition_filter is not None and not partition_filter(v):
                     return False
                 return (partition_min is None or v >= partition_min) and (
                     partition_max is None or v <= partition_max
@@ -293,6 +321,12 @@ class SnapshotTable:
     def exists(self) -> bool:
         return self.current_snapshot_id() is not None
 
+    def row_count(self) -> int:
+        """Current-snapshot row count — manifest arithmetic (footer stats
+        summed at commit time), never a scan. 0 when no snapshot exists."""
+        sid = self.current_snapshot_id()
+        return 0 if sid is None else self.snapshot(sid).row_count
+
     def partition_row_count(self, value: str) -> int:
         """Rows in the given partition of the current snapshot — pure
         manifest arithmetic over the per-file footer stats (the Iceberg
@@ -301,7 +335,9 @@ class SnapshotTable:
         if sid is None:
             return 0
         snap = self.snapshot(sid)
-        return sum(r for f, r in snap.file_rows.items() if snap.partitions.get(f) == value)
+        return sum(
+            self._file_rows(snap, f) for f in snap.files if snap.partitions.get(f) == value
+        )
 
 
 # ---------------------------------------------------------------------------

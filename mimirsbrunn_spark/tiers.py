@@ -22,6 +22,54 @@ from pyspark.sql import functions as F
 from .series import TIER_ORDER, bucket_col
 
 
+# ---------------------------------------------------------------------------
+# serving-table partition keys
+# ---------------------------------------------------------------------------
+# Published tier/gapfill tables are partitioned by a coarse ISO time prefix of
+# bucket_ts, granularity matched to the tier's bucket density (a day of the 1h
+# tier is 24 buckets/host; a month of the 1d tier is ~30): fine enough that a
+# narrow t0/t1 read touches few files, coarse enough that a year of data stays
+# at O(100) partitions. ISO prefixes sort lexicographically = chronologically,
+# so the read path translates t0/t1 into a partition_min/max string range —
+# manifest pruning, no file listing, no footer reads for pruned files
+# (the Iceberg partition-pruning shape; reference analog: index-set selection,
+# /root/reference/libs/mimir/src/rubber.rs:254-300).
+
+TIER_PARTITION_FMT = {
+    "1m": ("yyyy-MM-dd", "%Y-%m-%d"),
+    "1h": ("yyyy-MM-dd", "%Y-%m-%d"),
+    "1d": ("yyyy-MM", "%Y-%m"),
+    "30d": ("yyyy", "%Y"),
+}
+
+
+def partition_key_col(tier: str):
+    """Spark column: the serving-table partition key of ``bucket_ts``
+    (session timezone is pinned UTC, so this matches partition_bounds)."""
+    return F.date_format("bucket_ts", TIER_PARTITION_FMT[tier][0])
+
+
+def partition_bounds(tier: str, t0: int | None, t1: int | None) -> tuple[str | None, str | None]:
+    """Translate an epoch-second [t0, t1) read range into the partition-key
+    string range [min, max] that can contain matching buckets. Truncation is
+    monotone, so bucket_ts >= t0 ⇒ key >= key(t0) and bucket_ts < t1 ⇒
+    key <= key(t1-1)."""
+    import datetime as dt
+
+    fmt = TIER_PARTITION_FMT[tier][1]
+    lo = (
+        dt.datetime.fromtimestamp(t0, dt.timezone.utc).strftime(fmt)
+        if t0 is not None
+        else None
+    )
+    hi = (
+        dt.datetime.fromtimestamp(t1 - 1, dt.timezone.utc).strftime(fmt)
+        if t1 is not None
+        else None
+    )
+    return lo, hi
+
+
 def rollup(prev_tier: DataFrame, tier: str) -> DataFrame:
     """One cascade step: re-bucket the previous tier and re-aggregate."""
     return (
@@ -98,6 +146,28 @@ def incremental_refresh(
 
     if not days:
         return 0
+    if tier_tbl.exists():
+        # Refuse tables not laid out for bucket invalidation: pointed at an
+        # unpartitioned publish (files with '' partition values) or a schema
+        # without the `bucket` column, drop_partition_values would no-op and
+        # the append would double-count the refreshed buckets while mixing
+        # parquet schemas. Fail loudly; callers fall back to a full rebuild.
+        import json as _json
+
+        snap = tier_tbl.snapshot(tier_tbl.current_snapshot_id())
+        if any(snap.partitions.get(f, "") == "" for f in snap.files):
+            raise ValueError(
+                f"incremental_refresh({tier}): existing table has unpartitioned "
+                "files — rebuild it with partition_by='bucket' (or use cascade + "
+                "replace-commit) before refreshing incrementally"
+            )
+        if snap.schema_json is not None:
+            fields = {f["name"] for f in _json.loads(snap.schema_json)["fields"]}
+            if "bucket" not in fields:
+                raise ValueError(
+                    f"incremental_refresh({tier}): existing table schema lacks the "
+                    "'bucket' partition column — not a bucket-partitioned tier table"
+                )
     buckets = affected_buckets(days, tier)
     step = TIER_SECONDS[tier]
     # day partitions needed: every day intersecting [min_bucket, max_bucket+step)

@@ -334,6 +334,7 @@ def chunks_for_tier(tier_df: pd.DataFrame, tier: str) -> pd.DataFrame:
                 int(sec[0]),
                 int(dc[0]),
                 int(bs[0]),
+                int(sec[-1]),
             )
         )
     return pd.DataFrame(
@@ -349,5 +350,6 @@ def chunks_for_tier(tier_df: pd.DataFrame, tier: str) -> pd.DataFrame:
             "first_ts",
             "first_val",
             "first_bytes",
+            "last_ts",
         ],
     )

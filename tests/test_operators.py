@@ -663,3 +663,85 @@ def test_gopher_rules(spark):
     assert got[3].sym == round(4 / 3, 6)
     assert got[4].alpha == round(1 / 3, 6)
     assert got[5].rep == 0.0 and got[5].mwl == 0.0
+
+
+def test_point_boundary_distance_bucketed(spark):
+    """G4 scale path (VERDICT r2 item 6): the cell-bucketed variant returns
+    the same distances as the exact kernel for all pairs within max_dist,
+    and its plan contains NO cartesian/nested-loop join."""
+    from mimirsbrunn_spark.operators.geo import (
+        point_boundary_distance,
+        point_boundary_distance_bucketed,
+    )
+
+    polys = spark.createDataFrame(
+        [
+            (1, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0]),
+            (2, [10.0, 12.0, 12.0, 10.0], [10.0, 10.0, 12.0, 12.0]),
+        ],
+        "poly_id long, xs array<double>, ys array<double>",
+    )
+    points = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 6.0, 2.0), (3, 9.5, 11.0), (4, 50.0, 50.0), (5, 4.5, 4.5)],
+        "point_id long, x double, y double",
+    )
+    max_dist = 2.5
+    got = point_boundary_distance_bucketed(points, polys, cell=1.0, max_dist=max_dist)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    exact = point_boundary_distance(points, polys)
+    want = {
+        (r.point_id, r.poly_id): r.boundary_dist
+        for r in exact.collect()
+        if r.boundary_dist <= max_dist
+    }
+    got_map = {(r.point_id, r.poly_id): r.boundary_dist for r in got.collect()}
+    assert set(got_map) == set(want)  # point 4 (far from both) dropped
+    assert (4, 1) not in got_map and (4, 2) not in got_map
+    for k, v in want.items():
+        assert abs(got_map[k] - v) < 1e-9, (k, got_map[k], v)
+
+
+def test_boilerplate_strip_all_boilerplate_doc_kept_empty(spark):
+    """PINNED (VERDICT r2 item 7): a document whose segments are ALL
+    boilerplate survives with clean_text='' (the funnel drops empties
+    explicitly; the strip operator never disappears a document)."""
+    from mimirsbrunn_spark.operators.text import strip_boilerplate
+
+    footer = "all rights reserved"
+    rows = [
+        (1, "h1", "unique alpha text. " + footer),
+        (2, "h1", "different beta words. " + footer),
+        (3, "h1", footer),  # nothing but the boilerplate segment
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: (r.clean_text, r.n_removed) for r in
+           strip_boilerplate(docs, min_ratio=0.5, min_host_docs=2).collect()}
+    assert set(out) == {1, 2, 3}  # doc 3 present, not dropped
+    assert out[3] == ("", 1)
+    assert out[1] == ("unique alpha text", 1)
+
+
+def test_connected_components_long_chain(spark):
+    """Diameter far beyond checkpoint_every×a-few: a 16-vertex path must
+    still converge to a single component (VERDICT r2 item 8)."""
+    from mimirsbrunn_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in
+           connected_components(pairs, checkpoint_every=3, max_iter=20).collect()}
+    assert got == {i: 0 for i in range(16)}
+
+
+def test_connected_components_two_clusters_unchanged(spark):
+    """Same fixpoint as before the convergence-check fold."""
+    from mimirsbrunn_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}

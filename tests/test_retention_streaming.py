@@ -369,3 +369,48 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
     # the closed minute-0 window was NOT re-emitted or updated: still one
     # h.com row with doc_count 2 (the late event was dropped by the watermark)
     assert len(rows) == 1 and rows[0].doc_count == 2
+
+
+def test_anomaly_fn_multi_chunk_out_of_order(spark):
+    """ADVICE r2 (medium): a group spanning multiple Arrow chunks has no
+    cross-chunk ordering guarantee — the minute state machine must sort the
+    concatenated group once, not each chunk independently (events in a later
+    chunk with earlier timestamps must NOT be dropped as late)."""
+    import pandas as pd
+
+    from mimirsbrunn_spark.streaming import _anomaly_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def chunk(secs):
+        return pd.DataFrame(
+            {
+                "host": ["h"] * len(secs),
+                "url": [f"u{s}" for s in secs],
+                "warc_ts": pd.to_datetime(secs, unit="s"),
+            }
+        )
+
+    fn = _anomaly_fn(alpha=0.3, k=3.0, warmup=1)
+    state = FakeState()
+    # chunk 1 holds LATER minutes than chunk 2 — per-chunk sorting would
+    # misclassify all of chunk 2 as late
+    out = list(fn(("h",), iter([chunk([120, 180]), chunk([0, 0, 60])]), state))
+    res = pd.concat(out, ignore_index=True)
+    assert res["doc_count"].tolist() == [2, 1, 1]  # minutes 0, 1, 2 closed
+    assert res["late_dropped"].sum() == 0
+    # minute 3 stays open in state
+    assert state.get[2] == 3  # cur_min

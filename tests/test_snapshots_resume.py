@@ -270,3 +270,164 @@ def test_read_chunks_equals_rollup(spark, small_pages_path, tmp_path):
                      & (F.col("bucket_ts").cast("long") < t1))
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_serving_tables_partitioned_and_pruned(spark, small_pages_path, tmp_path):
+    """Published rollup/gapfill/chunks tables are partitioned, and the
+    serving read path prunes at the MANIFEST level: a narrow t0/t1 (or host)
+    query's scan touches ONLY files whose partition key can match (VERDICT r2
+    item 1 — the read path must never scan every file)."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark import tiers
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+    from mimirsbrunn_spark.query_api import read_chunks, read_rollup
+
+    out = str(tmp_path / "out_prune")
+    run_rollup_job(spark, small_pages_path, out)
+
+    def local(files):
+        # inputFiles() returns URIs (percent-encoded; the manifest stores
+        # raw paths)
+        from urllib.parse import unquote
+
+        return [unquote(f[7:] if f.startswith("file://") else f) for f in files]
+
+    # -- rollup_1h: partitioned by ISO day of bucket_ts --------------------
+    tbl = SnapshotTable(f"{out}/rollup_1h")
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    days = sorted({v for v in snap.partitions.values()})
+    assert len(days) >= 3 and "" not in days  # actually partitioned
+    one_day = days[1]
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(one_day).replace(tzinfo=dt.timezone.utc)
+    t0, t1 = int(d.timestamp()), int(d.timestamp()) + 86400
+    got = read_rollup(spark, out, "1h", t0=t0, t1=t1)
+    touched = local(got.inputFiles())
+    assert touched and all(snap.partitions[f] == one_day for f in touched)
+    assert len(touched) < len(snap.files)
+    # pruned read == unpruned read with the same row filters
+    full = tbl.read(spark).drop("pkey").filter(
+        (F.col("bucket_ts").cast("long") >= t0) & (F.col("bucket_ts").cast("long") < t1)
+    ).withColumn("avg_page_size", F.col("bytes_sum") / F.col("doc_count"))
+    assert got.count() == full.count() > 0
+    assert got.exceptAll(full).count() == 0
+
+    # -- gapfill_1h: same partition scheme ----------------------------------
+    gsnap = SnapshotTable(f"{out}/gapfill_1h").snapshot(
+        SnapshotTable(f"{out}/gapfill_1h").current_snapshot_id()
+    )
+    assert "" not in set(gsnap.partitions.values())
+
+    # -- chunks_1h: composite host-bucket|month key --------------------------
+    csnap = SnapshotTable(f"{out}/chunks_1h").snapshot(
+        SnapshotTable(f"{out}/chunks_1h").current_snapshot_id()
+    )
+    cvals = set(csnap.partitions.values())
+    assert "" not in cvals and all("|" in v for v in cvals)
+    assert csnap.meta.get("host_buckets") and csnap.meta.get("month_split")
+    hs = tiers.host_series(tbl.read(spark))
+    host = hs.select("host").distinct().orderBy("host").first().host
+    got_c = read_chunks(spark, out, "1h", hosts=[host])
+    from mimirsbrunn_spark.codecs import chunk_host_bucket
+
+    hb = chunk_host_bucket(host, int(csnap.meta["host_buckets"]))
+    touched_c = local(got_c.inputFiles())
+    assert touched_c and all(
+        csnap.partitions[f].split("|")[0] == hb for f in touched_c
+    )
+    assert len(touched_c) < len(csnap.files)
+    want_c = hs.filter(F.col("host") == host)
+    assert got_c.drop("tier").exceptAll(want_c).count() == 0
+    assert got_c.count() == want_c.count() > 0
+
+
+def test_read_chunks_gappy_series_not_pruned(spark, tmp_path):
+    """ADVICE r2 (high): a chunk whose series has gaps spans far more than
+    n_points*step — pruning must use the RECORDED last_ts, not an estimate.
+    Points at hours 0,1,200,201; t0=100h must return the 200/201 points."""
+    from mimirsbrunn_spark import codecs
+    from mimirsbrunn_spark.query_api import read_chunks
+
+    from pyspark.sql import functions as F
+
+    rows = [("gap.com", h * 3600, 1 + h, 10 * (1 + h)) for h in (0, 1, 200, 201)]
+    hs = spark.createDataFrame(
+        rows, "host string, sec long, doc_count long, bytes_sum long"
+    ).select("host", F.timestamp_seconds("sec").alias("bucket_ts"), "doc_count", "bytes_sum")
+    out = str(tmp_path / "out_gappy")
+    SnapshotTable(f"{out}/chunks_1h").commit(
+        codecs.encode_chunks(hs, "1h"), mode="replace"
+    )
+    got = read_chunks(spark, out, "1h", t0=100 * 3600).drop("tier")
+    assert got.count() == 2
+    secs = sorted(r.bucket_ts.timestamp() for r in got.collect())
+    assert secs == [200 * 3600.0, 201 * 3600.0]
+
+
+def test_enumerate_days_is_manifest_only(spark, small_pages_path, tmp_path):
+    """Day enumeration over a day-partitioned SnapshotTable input is pure
+    manifest arithmetic — it must not need a SparkSession at all (VERDICT r2
+    item 5: no distinct() scan over the raw pages on the control path)."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.jobs.rollup_job import enumerate_days
+
+    src = SnapshotTable(str(tmp_path / "pages_tbl_ed"))
+    pages = spark.read.parquet(small_pages_path)
+    src.commit(
+        pages.withColumn("day", F.to_date("warc_ts")), mode="replace", partition_by="day"
+    )
+    # spark=None: any Spark touch would raise — enumeration is driver-only
+    days = enumerate_days(None, src, None)
+    want = sorted(
+        r.d.isoformat()
+        for r in pages.select(F.to_date("warc_ts").alias("d")).distinct().collect()
+    )
+    assert days == want
+
+
+def test_incremental_refresh_rejects_unpartitioned_tier(spark, small_pages_path, tmp_path):
+    """ADVICE r2 (medium): pointed at a tier table without the bucket layout,
+    incremental_refresh must fail loudly instead of double-counting."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark import series, tiers
+
+    base = series.series_1m(spark.read.parquet(small_pages_path))
+    t1h = tiers.rollup(base, "1h")
+    day_tbl = SnapshotTable(str(tmp_path / "s1m"))
+    day_tbl.commit(
+        base.withColumn("day", F.to_date("bucket_ts")), mode="replace", partition_by="day"
+    )
+    bad = SnapshotTable(str(tmp_path / "bad_tier"))
+    bad.commit(t1h, mode="replace")  # unpartitioned, no bucket column
+    with _pytest.raises(ValueError, match="unpartitioned|bucket"):
+        tiers.incremental_refresh(spark, day_tbl, bad, "1h", days=["2024-01-01"])
+
+
+def test_legacy_manifest_footer_fallback(spark, tmp_path):
+    """ADVICE r2 (low): manifests that predate file_rows must fall back to
+    parquet footers — never silently report 0 rows."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    tbl = SnapshotTable(str(tmp_path / "legacy"))
+    df = spark.range(100).select(
+        "id", F.concat(F.lit("d"), (F.col("id") % 4).cast("string")).alias("p")
+    )
+    tbl.commit(df, mode="replace", partition_by="p")
+    # simulate a legacy manifest: strip the per-file stats
+    mp = tbl._manifest_path(tbl.current_snapshot_id())
+    with open(mp) as f:
+        m = json.load(f)
+    m["file_rows"] = {}
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    assert tbl.partition_row_count("d1") == 25
+    tbl.drop_partition_values({"d0"})
+    assert tbl.row_count() == 75

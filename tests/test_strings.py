@@ -116,3 +116,25 @@ def test_canonicalize_url(spark):
     got = [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
     for (u, want), g in zip(cases, got):
         assert g == want, (u, g, want)
+
+
+def test_multiword_synonyms_regex_metachars(spark):
+    """ADVICE r2 (low): user-supplied synonym keys/values with regex
+    metacharacters must be treated literally (\\Q..\\E quoting; $ and \\
+    escaped in the replacement)."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.functions.strings import apply_multiword_synonyms
+
+    syn = {"c++ lang": "cpp", "a.b c": "x$y", "q (r)": "s\\t"}
+    df = spark.createDataFrame(
+        [("the c++ lang rocks",), ("azb c is not a.b c",), ("q (r) here",)], "s string"
+    )
+    got = [
+        r.v
+        for r in df.select(apply_multiword_synonyms(F.col("s"), syn).alias("v")).collect()
+    ]
+    assert got[0] == "the cpp rocks"
+    # '.' must not match 'z'; the real 'a.b c' is replaced with a literal $
+    assert got[1] == "azb c is not x$y"
+    assert got[2] == "s\\t here"

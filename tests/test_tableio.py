@@ -126,3 +126,99 @@ def test_rollup_job_explicit_factory(spark, small_pages_path, tmp_path):
     )
     assert summary["days_processed"] == summary["days_total"] > 0
     assert SnapshotTable(f"{out}/rollup_1d").read(spark).count() > 0
+
+
+class MemoryTable:
+    """A genuinely different TableIO backend (driver-memory file sets) used
+    to prove rollup_job is backend-agnostic end-to-end (VERDICT r2 item 3):
+    same protocol surface as SnapshotTable, none of its storage."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._files = []  # list of (partition_value, pandas_df)
+        self._schema = None
+        self._committed = False
+
+    def commit(self, df, mode="append", meta=None, partition_by=None):
+        pdf = df.toPandas()
+        self._schema = df.schema
+        new = []
+        if partition_by:
+            for v, g in pdf.groupby(pdf[partition_by].astype(str), sort=True):
+                new.append((str(v), g))
+        else:
+            new.append(("", pdf))
+        if mode == "replace":
+            self._files = new
+        else:
+            self._files.extend(new)
+        self._committed = True
+        return len(self._files)
+
+    def read(self, spark=None, partition_min=None, partition_max=None, **_):
+        import pandas as pd
+
+        keep = [
+            g
+            for v, g in self._files
+            if v == ""
+            or (
+                (partition_min is None or v >= partition_min)
+                and (partition_max is None or v <= partition_max)
+            )
+        ]
+        s = spark or self._spark
+        if not keep:
+            return s.createDataFrame([], self._schema)
+        return s.createDataFrame(pd.concat(keep, ignore_index=True), self._schema)
+
+    def read_at(self, spark=None, snapshot_id=None, **kw):
+        return self.read(spark, **kw)
+
+    def exists(self):
+        return self._committed
+
+    def drop_partition_values(self, values, meta=None):
+        values = set(values)
+        self._files = [(v, g) for v, g in self._files if v not in values]
+        return len(self._files)
+
+    def partition_row_count(self, value):
+        return sum(len(g) for v, g in self._files if v == value)
+
+    def row_count(self):
+        return sum(len(g) for _, g in self._files)
+
+
+def test_rollup_job_backend_agnostic(spark, small_pages_path, tmp_path):
+    """run_rollup_job through a non-SnapshotTable backend produces EXACTLY
+    the same content in every published table as the SnapshotTable run."""
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    out_a = str(tmp_path / "out_snap")
+    s_a = run_rollup_job(spark, small_pages_path, out_a)
+
+    mem_tables = {}
+
+    def factory(name):
+        mem_tables[name] = MemoryTable(spark)
+        return mem_tables[name]
+
+    out_b = str(tmp_path / "out_mem")  # lineage/metrics still land here
+    s_b = run_rollup_job(spark, small_pages_path, out_b, table_factory=factory)
+
+    assert s_a["series_rows"] == s_b["series_rows"] > 0
+    assert set(mem_tables) == {
+        "series_1m",
+        "rollup_1h", "gapfill_1h", "chunks_1h",
+        "rollup_1d", "gapfill_1d", "chunks_1d",
+        "rollup_30d", "gapfill_30d", "chunks_30d",
+    }
+    for name, mem in mem_tables.items():
+        a = SnapshotTable(f"{out_a}/{name}").read(spark)
+        b = mem.read(spark)
+        cols = sorted(a.columns)
+        assert cols == sorted(b.columns), name
+        a, b = a.select(*cols), b.select(*cols)
+        assert a.count() == b.count() > 0, name
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
