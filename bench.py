@@ -49,13 +49,26 @@ def main() -> None:
     bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
 
-    def timed(fn) -> float:
-        best = float("inf")
+    spreads: dict[str, dict] = {}
+
+    def timed(fn, _name=None) -> float:
+        # report the MIN (noise-robust on a throttling host) and publish the
+        # full rep spread so a regression is distinguishable from a throttle
+        # window without re-running (min vs med divergence = host noise)
+        times = []
         for _ in range(reps):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        return round(best, 3)
+            times.append(time.time() - t0)
+        times.sort()
+        if _name is not None:
+            spreads[_name] = {
+                "min": round(times[0], 3),
+                "med": round(times[len(times) // 2], 3),
+                "max": round(times[-1], 3),
+                "n": len(times),
+            }
+        return round(times[0], 3)
 
     from mimirsbrunn_spark import codecs, gapfill, gate, series, tiers
     from mimirsbrunn_spark.session import get_spark
@@ -69,7 +82,7 @@ def main() -> None:
 
     # group 1: gate queries at the sf dir
     for name, fn in gate.core_queries().items():
-        timings[name] = timed(lambda fn=fn: _force(fn(spark, sf_dir)))
+        timings[name] = timed(lambda fn=fn: _force(fn(spark, sf_dir)), _name=name)
 
     # group 2: flagship pages pipeline at bench scale. Tiers are MATERIALIZED
     # continuous aggregates (the production shape — rollup_job publishes each
@@ -83,7 +96,8 @@ def main() -> None:
     n_docs = pages.count()
 
     timings["pages_series_1m"] = timed(
-        lambda: series.series_1m(pages).write.mode("overwrite").parquet(f"{work}/series_1m")
+        lambda: series.series_1m(pages).write.mode("overwrite").parquet(f"{work}/series_1m"),
+        _name="pages_series_1m",
     )
 
     def _cascade():
@@ -92,12 +106,12 @@ def main() -> None:
         _force(all_t["1d"])
         _force(all_t["30d"])
 
-    timings["pages_cascade"] = timed(_cascade)
+    timings["pages_cascade"] = timed(_cascade, _name="pages_cascade")
 
     hourly = spark.read.parquet(f"{work}/rollup_1h")
     hs = tiers.host_series(hourly)
-    timings["pages_gapfill_1h"] = timed(lambda: _force(gapfill.gapfill(hs, "1h")))
-    timings["pages_chunks_1h"] = timed(lambda: _force(codecs.encode_chunks(hs, "1h")))
+    timings["pages_gapfill_1h"] = timed(lambda: _force(gapfill.gapfill(hs, "1h")), _name="pages_gapfill_1h")
+    timings["pages_chunks_1h"] = timed(lambda: _force(codecs.encode_chunks(hs, "1h")), _name="pages_chunks_1h")
 
     shutil.rmtree(work, ignore_errors=True)
     pipeline_sec = timings["pages_series_1m"] + timings["pages_cascade"]
@@ -115,6 +129,7 @@ def main() -> None:
                 "bench_rows": n_docs,
                 "rollup_mdocs_per_sec": round(n_docs / pipeline_sec / 1e6, 4),
                 "cpus": cpus,
+                "spreads": spreads,
             }
         )
     )
