@@ -34,6 +34,11 @@ class EngineConfig:
     # published chunk tables: host-bucket count of the composite
     # '<host bucket>|<month>' partition key (read-path host pruning)
     host_buckets: int = 16
+    # derived-stage invalidation: when the serving tables already exist with
+    # the partition layout, refresh only the partitions dirtied by the
+    # newly-processed days (TimescaleDB continuous-aggregate style) instead
+    # of rebuilding every tier from the full series each run
+    incremental_derived: bool = True
     # dedup / similarity defaults
     minhash_k: int = 32
     minhash_bands: int = 16

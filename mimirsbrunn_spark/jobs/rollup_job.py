@@ -8,19 +8,24 @@ dedup/aggregate → atomic publish, one dataset at a time):
   2. for each day NOT in the lineage table: build the 1m series for that day,
      append-commit it to the series table, record a lineage row
      (partition id, input fingerprint, output snapshot, row count, checksum);
-  3. rebuild the derived tiers (1h/1d/30d), gap-fill tables and compressed
-     chunk tables from the committed 1m series with replace-commits.
+  3. refresh the derived tiers (1h/1d/30d), gap-fill tables and compressed
+     chunk tables: INCREMENTALLY when they already exist and record the
+     series snapshot they were built from (only partitions dirtied by this
+     run's days are recomputed, each tier cascading from the previous
+     tier's table via manifest-pruned reads — continuous-aggregate
+     invalidation), otherwise a full rebuild from the committed 1m series.
 
 Resume = rerun the job: step 2 skips days already in lineage (the analog of
 the reference's per-dataset alias republish — a crashed import rerun republishes
-only missing datasets, rubber.rs:553-602). Step 3 is idempotent by
-construction (replace-commit of a deterministic function of the series table).
+only missing datasets, rubber.rs:553-602). Step 3 is idempotent either way:
+the incremental path drops dirty partitions before re-appending them, and a
+crash mid-refresh leaves the tables out of sync with the series snapshot
+marker, which forces a full rebuild on the next run.
 
 Why days: 1m buckets never span a day boundary, so per-day series appends are
-disjoint and the concatenation is exactly the global series. Derived tiers
-are rebuilt globally — they aggregate the (tiny) 1m series, not the raw
-pages, so recomputing them costs ~nothing compared to one day's scan. The
-expensive, failure-prone work (the pages scan) is what checkpointing protects.
+disjoint and the concatenation is exactly the global series. The expensive,
+failure-prone work (the pages scan) is what checkpointing protects; derived
+refreshes aggregate rolled-up series, never raw pages.
 
 At 100 TB: the day loop is a loop over Iceberg partitions; each iteration
 scans only `warc_ts ∈ day` (partition pruning via the filter), and the series
@@ -66,6 +71,119 @@ def enumerate_days(spark, input_tbl, pages) -> list[str]:
         r.d.isoformat()
         for r in pages.select(F.to_date("warc_ts").alias("d")).distinct().orderBy("d").collect()
     ]
+
+
+def _derived_in_sync(tbl, series_sid) -> bool:
+    """True iff the table's current snapshot records it was built from the
+    given series snapshot. Backends without snapshot-meta introspection
+    (anything but SnapshotTable) return False → the caller falls back to a
+    full rebuild, which is always safe."""
+    try:
+        cur = tbl.current_snapshot_id()
+        if cur is None or series_sid is None:
+            return False
+        return tbl.snapshot(cur).meta.get("series_snapshot") == series_sid
+    except AttributeError:
+        return False
+
+
+def _refresh_derived_incremental(
+    spark, tier_tables, series_tbl, processed_days, cfg, sid_now
+) -> dict:
+    """Refresh ONLY the serving-table partitions dirtied by the processed
+    days (continuous-aggregate invalidation over the published layout):
+
+    - rollup_{tier}: dirty partition keys (tiers.dirty_partition_keys) are
+      recomputed IN FULL from the previous tier's table — a manifest-pruned
+      read of exactly the source span the dirty periods need
+      (tiers.source_span handles the epoch-anchored 30d buckets that reach
+      across partition boundaries) — then swapped in with a metadata-only
+      drop + append.
+    - chunks_{tier}: chunk groups are (host, tier, month) — independent by
+      construction (split_by_month) — so only the months containing dirty
+      buckets are re-encoded and swapped (all host buckets of those months).
+    - gapfill_{tier}: rebuilt in full. locf/linear windows reach across
+      partition boundaries (an observed point fills forward indefinitely),
+      so partition-local recompute would be WRONG; the input is the
+      rolled-up tier series (bounded by time range, not doc count), which
+      keeps the rebuild cheap at any raw-data scale.
+
+    Returns per-stage refreshed-partition counts (metrics payload)."""
+    import datetime as dt
+
+    stats: dict[str, float] = {}
+    prev_tbl = series_tbl  # 1h cascades from the 1m series; 1d from 1h; 30d from 1d
+    prev_fmt = "%Y-%m-%d"
+    for tier in ("1h", "1d", "30d"):
+        tbl = tier_tables[f"rollup_{tier}"]
+        pkeys = tiers.dirty_partition_keys(processed_days, tier)
+        span = tiers.source_span(tier, pkeys)
+        if span is None:
+            continue
+        lo, hi = span
+        src_min = dt.datetime.fromtimestamp(lo, dt.timezone.utc).strftime(prev_fmt)
+        src_max = dt.datetime.fromtimestamp(hi - 1, dt.timezone.utc).strftime(prev_fmt)
+        src = prev_tbl.read(spark, partition_min=src_min, partition_max=src_max).select(
+            "host", "bucket_ts", "lang", "doc_count", "bytes_sum"
+        )
+        fresh = tiers.rollup(src, tier).withColumn("pkey", tiers.partition_key_col(tier))
+        fresh = fresh.filter(F.col("pkey").isin(sorted(pkeys)))
+        tbl.drop_partition_values(pkeys, meta={"refresh": tier, "days": processed_days})
+        tbl.commit(
+            fresh,
+            mode="append",
+            meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1],
+                  "refreshed": sorted(pkeys), "series_snapshot": sid_now},
+            partition_by="pkey",
+        )
+        stats[f"rollup_{tier}_partitions"] = len(pkeys)
+
+        # chunk months containing dirty buckets (a tier row belongs to the
+        # chunk month of its own bucket_ts)
+        months = {
+            dt.datetime.fromtimestamp(b, dt.timezone.utc).strftime("%Y-%m")
+            for b in tiers.affected_buckets(processed_days, tier)
+        }
+        tier_read = tbl.read(
+            spark,
+            partition_filter=lambda v, M=months: any(
+                v.startswith(m) or m.startswith(v) for m in M
+            ),
+        ).drop("pkey")
+        in_months = tier_read.filter(
+            F.date_format("bucket_ts", "yyyy-MM").isin(sorted(months))
+        )
+        hs = tiers.host_series(in_months)
+        ch = codecs.encode_chunks(
+            hs, tier, max_points_per_chunk=cfg.chunk_max_points, split_by_month=True
+        ).withColumn("pkey", codecs.chunk_partition_col(cfg.host_buckets))
+        ch_tbl = tier_tables[f"chunks_{tier}"]
+        ch_tbl.drop_partition_values(
+            {f"{hb:04d}|{m}" for hb in range(cfg.host_buckets) for m in months},
+            meta={"refresh": tier, "months": sorted(months)},
+        )
+        ch_tbl.commit(
+            ch,
+            mode="append",
+            meta={"tier": tier, "host_buckets": cfg.host_buckets, "month_split": True,
+                  "series_snapshot": sid_now},
+            partition_by="pkey",
+        )
+        stats[f"chunks_{tier}_months"] = len(months)
+
+        # gapfill: full rebuild from the refreshed tier table (see docstring)
+        full_hs = tiers.host_series(tbl.read(spark).drop("pkey"))
+        tier_tables[f"gapfill_{tier}"].commit(
+            gapfill.gapfill(full_hs, tier).withColumn("pkey", tiers.partition_key_col(tier)),
+            mode="replace",
+            meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1],
+                  "series_snapshot": sid_now},
+            partition_by="pkey",
+        )
+
+        prev_tbl = tbl
+        prev_fmt = tiers.TIER_PARTITION_FMT[tier][1]
+    return stats
 
 
 def _checksum(df) -> str:
@@ -121,6 +239,13 @@ def run_rollup_job(
     done = lineage.committed_partitions(spark)
     todo = [d for d in days if f"day={d}" not in done]
 
+    # Series snapshot BEFORE this run's appends: derived tables record the
+    # series snapshot they were built from, so the derived stage can tell
+    # "up to date except this run's days" (incremental refresh is sound)
+    # from "stale for unknown reasons" (crash mid-derived on a previous run
+    # → full rebuild) without trusting the lineage alone.
+    sid_before = series_tbl.current_snapshot_id() if series_tbl.exists() else None
+
     processed = 0
     for day in todo:
         t0 = time.time()
@@ -170,49 +295,79 @@ def run_rollup_job(
         if fail_after is not None and processed >= fail_after:
             raise SimulatedFailure(f"injected failure after {processed} partitions")
 
-    # Derived artifacts: rebuilt from the committed series (idempotent).
-    # Every published table is PARTITIONED so the serving read path
-    # (query_api.read_rollup / read_chunks) prunes at the MANIFEST level:
-    # tier/gapfill tables by a coarse ISO time prefix of bucket_ts
-    # (tiers.partition_key_col — granularity matched to bucket density),
-    # chunk tables by the composite '<host bucket>|<month>' key (chunks are
-    # closed at month boundaries via split_by_month, making month pruning
-    # exact). At 100× an unpartitioned commit here turns every narrow
-    # t0/t1/host query into a full-table scan.
+    # Derived artifacts (idempotent). Every published table is PARTITIONED
+    # so the serving read path (query_api.read_rollup / read_chunks) prunes
+    # at the MANIFEST level: tier/gapfill tables by a coarse ISO time prefix
+    # of bucket_ts (tiers.partition_key_col — granularity matched to bucket
+    # density), chunk tables by the composite '<host bucket>|<month>' key
+    # (chunks are closed at month boundaries via split_by_month, making
+    # month pruning exact). At 100× an unpartitioned commit here turns every
+    # narrow t0/t1/host query into a full-table scan.
+    #
+    # Refresh strategy (continuous-aggregate invalidation): when the tables
+    # already exist with this layout, ONLY the partitions dirtied by the
+    # newly-processed days are recomputed — each tier cascades from the
+    # previous tier's TABLE with a manifest-pruned read, so a daily run
+    # touches O(dirty partitions), never the full series history. First run
+    # (or cfg.incremental_derived=False) takes the full-rebuild path.
     t0 = time.time()
-    base = series_tbl.read(spark)
-    tier_dfs = tiers.cascade(base)
     out_tables = {}
-    for tier in ("1h", "1d", "30d"):
-        tbl = tf(f"rollup_{tier}")
-        tbl.commit(
-            tier_dfs[tier].withColumn("pkey", tiers.partition_key_col(tier)),
-            mode="replace",
-            meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1]},
-            partition_by="pkey",
+    derived_names = [
+        f"{kind}_{tier}" for tier in ("1h", "1d", "30d") for kind in ("rollup", "gapfill", "chunks")
+    ]
+    tier_tables = {name: tf(name) for name in derived_names}
+    out_tables.update(tier_tables)
+    processed_days = todo[:processed]
+    sid_now = series_tbl.current_snapshot_id() if series_tbl.exists() else None
+    all_exist = all(t.exists() for t in tier_tables.values())
+    incremental_ok = (
+        cfg.incremental_derived
+        and all_exist
+        and processed > 0
+        and all(_derived_in_sync(t, sid_before) for t in tier_tables.values())
+    )
+    in_sync_now = all_exist and all(
+        _derived_in_sync(t, sid_now) for t in tier_tables.values()
+    )
+    if incremental_ok:
+        stats = _refresh_derived_incremental(
+            spark, tier_tables, series_tbl, processed_days, cfg, sid_now
         )
-        out_tables[f"rollup_{tier}"] = tbl
-        hs = tiers.host_series(tier_dfs[tier])
-        gf_tbl = tf(f"gapfill_{tier}")
-        gf_tbl.commit(
-            gapfill.gapfill(hs, tier).withColumn("pkey", tiers.partition_key_col(tier)),
-            mode="replace",
-            meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1]},
-            partition_by="pkey",
+        metrics.record(
+            spark, job_id, stage="derived_incremental",
+            kv={"seconds": time.time() - t0, **stats},
         )
-        out_tables[f"gapfill_{tier}"] = gf_tbl
-        ch_tbl = tf(f"chunks_{tier}")
-        ch = codecs.encode_chunks(
-            hs, tier, max_points_per_chunk=cfg.chunk_max_points, split_by_month=True
-        ).withColumn("pkey", codecs.chunk_partition_col(cfg.host_buckets))
-        ch_tbl.commit(
-            ch,
-            mode="replace",
-            meta={"tier": tier, "host_buckets": cfg.host_buckets, "month_split": True},
-            partition_by="pkey",
-        )
-        out_tables[f"chunks_{tier}"] = ch_tbl
-    metrics.record(spark, job_id, stage="derived", kv={"seconds": time.time() - t0})
+    elif not in_sync_now:
+        base = series_tbl.read(spark)
+        tier_dfs = tiers.cascade(base)
+        for tier in ("1h", "1d", "30d"):
+            tbl = tier_tables[f"rollup_{tier}"]
+            tbl.commit(
+                tier_dfs[tier].withColumn("pkey", tiers.partition_key_col(tier)),
+                mode="replace",
+                meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1],
+                      "series_snapshot": sid_now},
+                partition_by="pkey",
+            )
+            hs = tiers.host_series(tier_dfs[tier])
+            tier_tables[f"gapfill_{tier}"].commit(
+                gapfill.gapfill(hs, tier).withColumn("pkey", tiers.partition_key_col(tier)),
+                mode="replace",
+                meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1],
+                      "series_snapshot": sid_now},
+                partition_by="pkey",
+            )
+            ch = codecs.encode_chunks(
+                hs, tier, max_points_per_chunk=cfg.chunk_max_points, split_by_month=True
+            ).withColumn("pkey", codecs.chunk_partition_col(cfg.host_buckets))
+            tier_tables[f"chunks_{tier}"].commit(
+                ch,
+                mode="replace",
+                meta={"tier": tier, "host_buckets": cfg.host_buckets, "month_split": True,
+                      "series_snapshot": sid_now},
+                partition_by="pkey",
+            )
+        metrics.record(spark, job_id, stage="derived", kv={"seconds": time.time() - t0})
 
     # retention stage (explicit clock; no-op when not requested)
     if retention_now_epoch is not None:

@@ -70,6 +70,61 @@ def partition_bounds(tier: str, t0: int | None, t1: int | None) -> tuple[str | N
     return lo, hi
 
 
+def dirty_partition_keys(days: list[str], tier: str) -> set[str]:
+    """Partition keys (TIER_PARTITION_FMT strings) of the tier's serving
+    table dirtied by new 1m data for the given ISO days — the invalidation
+    set at PARTITION granularity (the unit the job refreshes)."""
+    import datetime as dt
+
+    fmt = TIER_PARTITION_FMT[tier][1]
+    return {
+        dt.datetime.fromtimestamp(b, dt.timezone.utc).strftime(fmt)
+        for b in affected_buckets(days, tier)
+    }
+
+
+def _period_bounds(tier: str, pkey: str) -> tuple[int, int]:
+    """Epoch-second [lo, hi) range covered by one partition-key period."""
+    import datetime as dt
+
+    if tier in ("1m", "1h"):  # day key
+        lo = dt.datetime.fromisoformat(pkey).replace(tzinfo=dt.timezone.utc)
+        hi = lo + dt.timedelta(days=1)
+    elif tier == "1d":  # month key
+        y, m = int(pkey[:4]), int(pkey[5:7])
+        lo = dt.datetime(y, m, 1, tzinfo=dt.timezone.utc)
+        hi = dt.datetime(y + (m == 12), m % 12 + 1, 1, tzinfo=dt.timezone.utc)
+    else:  # year key
+        y = int(pkey)
+        lo = dt.datetime(y, 1, 1, tzinfo=dt.timezone.utc)
+        hi = dt.datetime(y + 1, 1, 1, tzinfo=dt.timezone.utc)
+    return int(lo.timestamp()), int(hi.timestamp())
+
+
+def source_span(tier: str, pkeys: set[str]) -> tuple[int, int] | None:
+    """Epoch-second [lo, hi) range of SOURCE rows needed to recompute the
+    given tier partitions IN FULL: tier buckets are epoch-anchored
+    multiples of the tier step, so a partition period [p0, p1) owns bucket
+    starts ceil(p0) .. floor(p1-1) on that grid, and each bucket aggregates
+    source rows in [b, b+step). (A 30d bucket starting in late December
+    reaches into January — the span accounts for it; the January-start
+    partition of the NEXT year never claims it.) None when no bucket start
+    falls inside any requested period."""
+    from .series import TIER_SECONDS
+
+    step = TIER_SECONDS[tier]
+    lo, hi = None, None
+    for k in pkeys:
+        p0, p1 = _period_bounds(tier, k)
+        b0 = -(-p0 // step) * step  # first bucket start >= p0
+        b1 = ((p1 - 1) // step) * step  # last bucket start < p1
+        if b1 < b0:
+            continue
+        lo = b0 if lo is None else min(lo, b0)
+        hi = b1 + step if hi is None else max(hi, b1 + step)
+    return None if lo is None else (lo, hi)
+
+
 def rollup(prev_tier: DataFrame, tier: str) -> DataFrame:
     """One cascade step: re-bucket the previous tier and re-aggregate."""
     return (

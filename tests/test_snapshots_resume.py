@@ -431,3 +431,59 @@ def test_legacy_manifest_footer_fallback(spark, tmp_path):
     assert tbl.partition_row_count("d1") == 25
     tbl.drop_partition_values({"d0"})
     assert tbl.row_count() == 75
+
+
+def test_incremental_derived_refresh_equals_full_rebuild(spark, small_pages_path, tmp_path):
+    """Continuous-aggregate invalidation inside rollup_job: a second run over
+    newly-appended days refreshes ONLY dirty partitions (manifest meta shows
+    the append path), and every derived table ends bit-identical to a
+    from-scratch full rebuild over the complete input."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    pages = spark.read.parquet(small_pages_path)
+    days = sorted(
+        r.d.isoformat()
+        for r in pages.select(F.to_date("warc_ts").alias("d")).distinct().collect()
+    )
+    assert len(days) >= 4
+    first, rest = days[:2], days[2:]
+
+    # day-partitioned snapshot input, committed in two steps
+    src_path = str(tmp_path / "pages_incr")
+    src = SnapshotTable(src_path)
+    wd = pages.withColumn("day", F.to_date("warc_ts"))
+    src.commit(
+        wd.filter(F.col("day").cast("string").isin(first)), mode="replace", partition_by="day"
+    )
+
+    out_i = str(tmp_path / "out_incr")
+    run_rollup_job(spark, src_path, out_i)  # first run: full rebuild path
+
+    src.commit(
+        wd.filter(F.col("day").cast("string").isin(rest)), mode="append", partition_by="day"
+    )
+    s2 = run_rollup_job(spark, src_path, out_i)  # second run: incremental path
+    assert s2["days_processed"] == len(rest)
+    # the incremental path appended (no replace) on the rollup tables
+    r1h = SnapshotTable(f"{out_i}/rollup_1h")
+    metas = [s.meta for s in r1h.snapshots()]
+    assert any("refreshed" in m for m in metas), metas
+
+    # ground truth: full rebuild over the complete input
+    out_f = str(tmp_path / "out_full")
+    run_rollup_job(spark, src_path, out_f)
+
+    for name in (
+        "series_1m",
+        "rollup_1h", "gapfill_1h", "chunks_1h",
+        "rollup_1d", "gapfill_1d", "chunks_1d",
+        "rollup_30d", "gapfill_30d", "chunks_30d",
+    ):
+        a = SnapshotTable(f"{out_i}/{name}").read(spark)
+        b = SnapshotTable(f"{out_f}/{name}").read(spark)
+        cols = sorted(set(a.columns) & set(b.columns))
+        a, b = a.select(*cols), b.select(*cols)
+        assert a.count() == b.count() > 0, name
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
