@@ -85,6 +85,39 @@ def read_rollup(
     return out
 
 
+def read_gapfill(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str,
+    t0: int | None = None,
+    t1: int | None = None,
+    hosts: list[str] | None = None,
+    metric: str | None = None,
+    fill: str = "locf",
+) -> DataFrame:
+    """Read the PRE-COMPUTED gap-filled series published by rollup_job
+    (read_rollup(fill=...) computes the same thing on demand from the tier
+    table; this serves it from storage). t0/t1 prune at the manifest level
+    via the tier's partition key, then re-apply as exact row predicates.
+    Returns (host, bucket_ts, metric, value, is_filled)."""
+    from .tiers import partition_bounds
+
+    assert fill in ("locf", "linear")
+    tbl = SnapshotTable(f"{out_dir}/gapfill_{tier}")
+    p_lo, p_hi = partition_bounds(tier, t0, t1)
+    df = tbl.read(spark, partition_min=p_lo, partition_max=p_hi).drop("pkey")
+    if t0 is not None:
+        df = df.filter(F.col("bucket_ts").cast("long") >= t0)
+    if t1 is not None:
+        df = df.filter(F.col("bucket_ts").cast("long") < t1)
+    if hosts:
+        df = df.filter(F.col("host").isin(hosts))
+    if metric:
+        df = df.filter(F.col("metric") == metric)
+    value = F.col("value_locf") if fill == "locf" else F.col("value_linear")
+    return df.select("host", "bucket_ts", "metric", value.alias("value"), "is_filled")
+
+
 def register_views(spark: SparkSession, out_dir: str, prefix: str = "") -> list[str]:
     """Register every published table under ``out_dir`` as a temp view so
     the whole read surface is plain ``spark.sql`` (the DataFrame API and

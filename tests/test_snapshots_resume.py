@@ -487,3 +487,52 @@ def test_incremental_derived_refresh_equals_full_rebuild(spark, small_pages_path
         a, b = a.select(*cols), b.select(*cols)
         assert a.count() == b.count() > 0, name
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
+
+
+def test_read_gapfill_pruned_equals_on_demand(spark, small_pages_path, tmp_path):
+    """The stored gap-fill serving path: manifest-pruned, and equal to the
+    on-demand fill over the same range/host. Caveat pinned here: a narrow
+    t0/t1 read of the STORED fill returns exactly the stored rows in range
+    (fills computed over the full series), identical to slicing the
+    on-demand fill of the full tier."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark import gapfill, tiers
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+    from mimirsbrunn_spark.query_api import read_gapfill
+
+    out = str(tmp_path / "out_gf")
+    run_rollup_job(spark, small_pages_path, out)
+
+    tbl = SnapshotTable(f"{out}/rollup_1h")
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    days = sorted(set(snap.partitions.values()))
+    day = days[1]
+    d = dt.datetime.fromisoformat(day).replace(tzinfo=dt.timezone.utc)
+    t0, t1 = int(d.timestamp()), int(d.timestamp()) + 86400
+
+    got = read_gapfill(spark, out, "1h", t0=t0, t1=t1, metric="doc_count", fill="locf")
+    # manifest pruning: only the day's files are touched
+    gf_tbl = SnapshotTable(f"{out}/gapfill_1h")
+    gf_snap = gf_tbl.snapshot(gf_tbl.current_snapshot_id())
+    from urllib.parse import unquote
+
+    touched = [unquote(f[7:] if f.startswith("file://") else f) for f in got.inputFiles()]
+    assert touched and all(gf_snap.partitions[f] == day for f in touched)
+    assert len(touched) < len(gf_snap.files)
+
+    # equality vs the on-demand fill over the full tier, sliced to the range
+    hs = tiers.host_series(tbl.read(spark).drop("pkey"))
+    want = (
+        gapfill.gapfill(hs, "1h")
+        .filter(
+            (F.col("metric") == "doc_count")
+            & (F.col("bucket_ts").cast("long") >= t0)
+            & (F.col("bucket_ts").cast("long") < t1)
+        )
+        .select("host", "bucket_ts", "metric", F.col("value_locf").alias("value"), "is_filled")
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
