@@ -24,15 +24,12 @@ re-expressed Spark-first:
 __version__ = "0.1.0"
 
 
-def ensure_worker_imports(spark) -> None:
-    """Make this package importable inside Python workers of an arbitrary,
-    already-running SparkSession (e.g. the driver harness's own session, which
-    predates any PYTHONPATH we could set): zip the package and addPyFile it.
-    Idempotent per session; the zip name carries the newest source mtime so a
-    stale zip is never reused. On a real cluster this is what
-    ``spark-submit --py-files`` does at submit time."""
-    if getattr(spark, "_mimir_pyfiles_added", False):
-        return
+def build_pyfiles_zip(dest_dir: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` (and for
+    ``addPyFile`` on an already-running session). The zip name carries the
+    newest source mtime so a stale zip is never reused; the archive root is
+    the package directory, so ``import mimirsbrunn_spark`` works from the
+    zip alone. Returns the zip path."""
     import os
     import tempfile
     import zipfile
@@ -47,7 +44,7 @@ def ensure_worker_imports(spark) -> None:
                 entries.append(full)
                 newest = max(newest, int(os.path.getmtime(full)))
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"mimirsbrunn_spark_pyfiles_{newest}.zip"
+        dest_dir or tempfile.gettempdir(), f"mimirsbrunn_spark_pyfiles_{newest}.zip"
     )
     if not os.path.exists(zip_path):
         tmp = zip_path + ".tmp"
@@ -55,5 +52,16 @@ def ensure_worker_imports(spark) -> None:
             for full in entries:
                 z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
         os.replace(tmp, zip_path)
-    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
+
+
+def ensure_worker_imports(spark) -> None:
+    """Make this package importable inside Python workers of an arbitrary,
+    already-running SparkSession (e.g. the driver harness's own session, which
+    predates any PYTHONPATH we could set): zip the package and addPyFile it.
+    Idempotent per session. On a real cluster this is what
+    ``spark-submit --py-files`` does at submit time."""
+    if getattr(spark, "_mimir_pyfiles_added", False):
+        return
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
     spark._mimir_pyfiles_added = True

@@ -274,6 +274,153 @@ FROM anno
 # ---------------------------------------------------------------------------
 
 
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter rate (operators/counters.py) over a synthetic
+    per-host byte counter: cumulative bytes per 1m bucket, wrapped modulo
+    200 so the fixture genuinely contains resets at every SF (per-host
+    cumulative strlen(props) totals are only ~600 at sf0.001)."""
+    from pyspark.sql import Window
+
+    from .operators.counters import counter_rate
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 60))
+        .agg(F.sum("page_size").alias("b"))
+        .withColumnRenamed("bucket_sec", "ts_sec")
+    )
+    w = Window.partitionBy("host").orderBy("ts_sec")
+    c = hs.select(
+        "host", "ts_sec", (F.sum("b").over(w) % 200).alias("counter")
+    )
+    return counter_rate(c, ["host"], ts_col="ts_sec", value_col="counter")
+
+
+SQL_COUNTER_RATE = f"""
+WITH {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 60) AS ts_sec,
+         CAST(SUM(page_size) AS BIGINT) AS b
+  FROM pages GROUP BY 1, 2
+),
+c AS (
+  SELECT host, ts_sec,
+         CAST(SUM(b) OVER (PARTITION BY host ORDER BY ts_sec) % 200 AS BIGINT)
+           AS counter
+  FROM hs
+),
+l AS (
+  SELECT host, ts_sec, counter,
+         LAG(counter) OVER (PARTITION BY host ORDER BY ts_sec) AS prev_v,
+         LAG(ts_sec)  OVER (PARTITION BY host ORDER BY ts_sec) AS prev_t
+  FROM c
+)
+SELECT host, ts_sec,
+       CAST(CASE WHEN counter >= prev_v THEN counter - prev_v ELSE counter END
+            AS DOUBLE)
+         / CAST(NULLIF(ts_sec - prev_t, 0) AS DOUBLE)          AS rate,
+       COALESCE(counter < prev_v, FALSE)                       AS is_reset
+FROM l
+"""
+
+
+def q_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """locf time-weighted mean of the hourly byte series per host over the
+    middle half of the fixture's time range (operators/counters.py).
+    t0/t1 derive from the data with integer arithmetic so both engines
+    compute identical window bounds."""
+    from .operators.counters import time_weighted_avg
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 3600))
+        .agg(F.sum("page_size").alias("value"))
+        .withColumnRenamed("bucket_sec", "ts_sec")
+    )
+    mn, mx = hs.agg(F.min("ts_sec"), F.max("ts_sec")).first()
+    q = (mx - mn) // 4
+    return time_weighted_avg(hs, ["host"], t0=mn + q, t1=mn + 3 * q)
+
+
+SQL_TIME_WEIGHTED = f"""
+WITH {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 3600) AS ts_sec,
+         CAST(SUM(page_size) AS BIGINT) AS value
+  FROM pages GROUP BY 1, 2
+),
+b AS (
+  SELECT MIN(ts_sec) AS mn, (MAX(ts_sec) - MIN(ts_sec)) // 4 AS q FROM hs
+),
+segs AS (
+  SELECT host,
+         GREATEST(
+           LEAST(COALESCE(LEAD(ts_sec) OVER (PARTITION BY host ORDER BY ts_sec),
+                          b.mn + 3 * b.q),
+                 b.mn + 3 * b.q)
+           - GREATEST(ts_sec, b.mn + b.q),
+           0) AS w,
+         value
+  FROM hs, b
+),
+agg AS (
+  SELECT host,
+         CAST(SUM(value * w) AS BIGINT) AS svw,
+         CAST(SUM(w) AS BIGINT)         AS covered_sec
+  FROM segs GROUP BY 1
+)
+SELECT host,
+       CAST(svw AS DOUBLE) / CAST(covered_sec AS DOUBLE) AS twa,
+       covered_sec
+FROM agg
+WHERE covered_sec > 0
+"""
+
+
+def q_range_total_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stitched multi-tier range totals (tiers.decompose_range +
+    stitched_totals): the Spark side answers from the coarsest tier
+    combination covering [t0, t1); the oracle sums the raw rows directly —
+    equality IS the cascade-stitching invariant. t0/t1 derive from the data
+    with integer arithmetic (60 s-aligned) so both engines use identical
+    bounds."""
+    from .series import TIER_SECONDS
+    from .tiers import stitched_totals
+
+    p = pages_df(spark, sf_dir)
+    mn, mx = p.agg(F.min("warc_sec"), F.max("warc_sec")).first()
+    q1 = ((mx - mn) // 7 // 60) * 60
+    q2 = ((mx - mn) // 9 // 60) * 60
+    t0 = (mn - mn % 60) + q1
+    t1 = (mx - mx % 60) - q2
+    tier_dfs = {
+        tier: p.groupBy("host", _bucket("warc_sec", step)).agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("page_size").alias("bytes_sum"),
+        )
+        for tier, step in TIER_SECONDS.items()
+    }
+    return stitched_totals(tier_dfs, t0, t1, bucket="bucket_sec")
+
+
+SQL_RANGE_TOTAL_STITCHED = f"""
+WITH {PAGES_CTE},
+b AS (SELECT MIN(warc_sec) AS mn, MAX(warc_sec) AS mx FROM pages),
+r AS (
+  SELECT (mn - (mn % 60)) + (((mx - mn) // 7) // 60) * 60 AS t0,
+         (mx - (mx % 60)) - (((mx - mn) // 9) // 60) * 60 AS t1
+  FROM b
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT)       AS doc_count,
+       CAST(SUM(page_size) AS BIGINT) AS bytes_sum
+FROM pages, r
+WHERE (warc_sec - (warc_sec % 60)) >= r.t0
+  AND (warc_sec - (warc_sec % 60)) <  r.t1
+GROUP BY host
+"""
+
+
 def core_queries() -> dict:
     qs = {
         "series_1m": _tier_query(60),
@@ -287,6 +434,9 @@ def core_queries() -> dict:
         "gapfill_1h": q_gapfill_1h,
         "gapfill_lang_1d": q_gapfill_lang_1d,
         "codec_roundtrip": q_codec_roundtrip,
+        "counter_rate": q_counter_rate,
+        "time_weighted_avg": q_time_weighted,
+        "range_total_stitched": q_range_total_stitched,
     }
     return qs
 
@@ -304,6 +454,9 @@ def core_oracle_sql() -> dict:
         "gapfill_1h": SQL_GAPFILL_1H,
         "gapfill_lang_1d": SQL_GAPFILL_LANG_1D,
         "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
+        "counter_rate": SQL_COUNTER_RATE,
+        "time_weighted_avg": SQL_TIME_WEIGHTED,
+        "range_total_stitched": SQL_RANGE_TOTAL_STITCHED,
     }
 
 def q_gapfill_lang_1d(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,9 +32,11 @@ scans only `warc_ts ∈ day` (partition pruning via the filter), and the series
 append shuffles only that day's (host, bucket, lang) groups. Days can also be
 dispatched as independent Spark jobs for further isolation.
 
-Run on a cluster:
-  spark-submit --py-files mimirsbrunn_spark.zip -m mimirsbrunn_spark.jobs.rollup_job \
-      --pages <path> --out <dir> [--job-id id]
+Run on a cluster (spark-submit takes a script, not a module — the launcher
+is tools/submit_rollup.py; the zip comes from
+``mimirsbrunn_spark.build_pyfiles_zip()``):
+  spark-submit --master <cluster> --py-files mimirsbrunn_spark_pyfiles.zip \
+      tools/submit_rollup.py --pages <path> --out <dir> [--job-id id]
 """
 
 from __future__ import annotations
@@ -421,6 +423,7 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
     args = ap.parse_args()
     spark = get_spark(app_name=f"rollup_job[{args.job_id}]")
     summary = run_rollup_job(spark, args.pages, args.out, args.job_id)
+    summary["master"] = spark.sparkContext.master
     print(summary)
 
 

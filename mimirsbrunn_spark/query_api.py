@@ -118,6 +118,104 @@ def read_gapfill(
     return df.select("host", "bucket_ts", "metric", value.alias("value"), "is_filled")
 
 
+def read_range_total(
+    spark: SparkSession,
+    out_dir: str,
+    t0: int,
+    t1: int,
+    hosts: list[str] | None = None,
+) -> DataFrame:
+    """Per-host (doc_count, bytes_sum) totals over [t0, t1), stitched from
+    the COARSEST tier combination that covers the range (tiers.
+    decompose_range): 30d buckets for the aligned interior, 1d/1h/1m only at
+    the edges. Each sub-range reads its own tier table with manifest-level
+    partition pruning, so a year-long query scans ~12 30d rows per key plus
+    edge files — not 525k 1m rows. Exact by the cascade invariant (every
+    tier is an exact aggregate of the finer one)."""
+    from functools import reduce
+
+    from .tiers import decompose_range, partition_bounds
+
+    pieces = []
+    for tier, a, b in decompose_range(t0, t1):
+        name = "series_1m" if tier == "1m" else f"rollup_{tier}"
+        tbl = SnapshotTable(f"{out_dir}/{name}")
+        p_lo, p_hi = partition_bounds(tier, a, b)
+        df = tbl.read(spark, partition_min=p_lo, partition_max=p_hi).drop("pkey", "day")
+        sec = F.col("bucket_ts").cast("long")
+        df = df.filter((sec >= a) & (sec < b))
+        if hosts:
+            df = df.filter(F.col("host").isin(hosts))
+        pieces.append(df.select("host", "doc_count", "bytes_sum"))
+    if not pieces:
+        raise ValueError("empty range")
+    u = reduce(lambda x, y: x.unionByName(y), pieces)
+    return u.groupBy("host").agg(
+        F.sum("doc_count").alias("doc_count"),
+        F.sum("bytes_sum").alias("bytes_sum"),
+    )
+
+
+def read_realtime(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str,
+    pages: DataFrame,
+    hosts: list[str] | None = None,
+) -> DataFrame:
+    """REAL-TIME continuous aggregate: the materialized tier for everything
+    the rollup job has published, plus the not-yet-rolled-up raw tail
+    aggregated on the fly, with the straddling bucket recomputed correctly.
+
+    The watermark is the end of the last published day (series_1m manifest
+    — pure arithmetic, no scan). Tier buckets that end at/before the
+    watermark-floored bucket are served from the materialized tier table;
+    the bucket straddling the watermark is recomputed from materialized 1m
+    rows (< watermark) plus fresh pages (>= watermark); buckets past the
+    watermark come from fresh pages alone. Equals a full rebuild over
+    published ∪ fresh (pinned by test), while scanning only the raw tail —
+    the serving semantics of a continuously-refreshing rollup store."""
+    import datetime as dt
+
+    from . import series as series_mod
+    from .series import TIER_SECONDS
+    from .tiers import partition_bounds
+    from .tiers import rollup as tier_rollup
+
+    s_tbl = SnapshotTable(f"{out_dir}/series_1m")
+    snap = s_tbl.snapshot(s_tbl.current_snapshot_id())
+    days = sorted({v for v in snap.partitions.values() if v})
+    if not days:
+        raise ValueError("no published series_1m partitions")
+    wm = int(
+        dt.datetime.fromisoformat(days[-1]).replace(tzinfo=dt.timezone.utc).timestamp()
+    ) + 86400
+    step = TIER_SECONDS[tier]
+    wm_floor = wm - (wm % step)
+
+    fresh = pages.filter(F.col("warc_ts").cast("long") >= wm)
+    tail_1m = series_mod.series_1m(fresh)
+
+    if tier == "1m":
+        mat = s_tbl.read(spark).drop("pkey", "day")
+        out = mat.unionByName(tail_1m)
+    else:
+        t_tbl = SnapshotTable(f"{out_dir}/rollup_{tier}")
+        p_lo, p_hi = partition_bounds(tier, None, wm_floor)
+        mat = t_tbl.read(spark, partition_min=p_lo, partition_max=p_hi).drop("pkey")
+        mat = mat.filter(F.col("bucket_ts").cast("long") < wm_floor)
+        # straddling bucket: materialized 1m rows in [wm_floor, wm) + tail
+        e_lo, e_hi = partition_bounds("1m", wm_floor, wm)
+        edge_1m = s_tbl.read(spark, partition_min=e_lo, partition_max=e_hi).drop(
+            "pkey", "day"
+        )
+        edge_1m = edge_1m.filter(F.col("bucket_ts").cast("long") >= wm_floor)
+        out = mat.unionByName(tier_rollup(edge_1m.unionByName(tail_1m), tier))
+    if hosts:
+        out = out.filter(F.col("host").isin(hosts))
+    return out
+
+
 def register_views(spark: SparkSession, out_dir: str, prefix: str = "") -> list[str]:
     """Register every published table under ``out_dir`` as a temp view so
     the whole read surface is plain ``spark.sql`` (the DataFrame API and

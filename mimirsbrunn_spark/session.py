@@ -31,12 +31,23 @@ def get_spark(
         )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # Under spark-submit the JVM gateway is already up (PythonRunner exports
+    # PYSPARK_GATEWAY_PORT) and carries --master/--driver-memory from the
+    # submit command; setting them here would silently override the cluster
+    # deployment. Outside spark-submit (plain python, tests, notebooks) we
+    # must pick a master ourselves.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ and master is None
+    builder = SparkSession.builder.appName(app_name)
+    if not under_submit:
+        builder = builder.master(master or f"local[{cpus}]").config(
+            # local mode: the driver heap IS the cluster memory — size it for
+            # the thread count or 32 executor threads GC-thrash an 8g default
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -46,9 +57,6 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # local mode: the driver heap IS the cluster memory — size it for the
-        # thread count or 32 executor threads GC-thrash an 8g default heap
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )

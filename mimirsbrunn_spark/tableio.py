@@ -42,6 +42,8 @@ class TableIO(Protocol):
 
     def exists(self) -> bool: ...
 
+    def current_snapshot_id(self) -> int | None: ...
+
     def drop_partition_values(self, values, meta: dict | None = None) -> int | None: ...
 
     def partition_row_count(self, value: str) -> int: ...

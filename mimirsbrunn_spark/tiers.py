@@ -258,3 +258,78 @@ def host_series(tier_df: DataFrame) -> DataFrame:
         F.sum("doc_count").alias("doc_count"),
         F.sum("bytes_sum").alias("bytes_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stitched multi-tier range reads (continuous-aggregate smart routing)
+# ---------------------------------------------------------------------------
+
+
+def decompose_range(
+    t0: int, t1: int, tiers: list[str] | None = None
+) -> list[tuple[str, int, int]]:
+    """Greedy calendar decomposition of [t0, t1) into non-overlapping,
+    tier-aligned sub-ranges, coarsest tier in the interior, finer tiers at
+    the edges — e.g. a 95-day range becomes 1m head + 1h + 1d + three 30d
+    buckets + 1d + 1h + 1m tail. t0/t1 must be aligned to the finest tier's
+    step (the base series grid; nothing finer is materialized).
+
+    This is the read-routing arithmetic of every rollup store (answer a
+    range from the cheapest tier combination): a year-long query touches
+    ~12 30d rows + edge rows per key instead of ~525k 1m rows. Pure driver
+    arithmetic — no Spark job."""
+    from .series import TIER_SECONDS
+
+    tiers = tiers or TIER_ORDER
+    step0 = TIER_SECONDS[tiers[0]]
+    if t0 % step0 or t1 % step0:
+        raise ValueError(f"range must align to the finest tier grid ({step0}s)")
+    parts: list[tuple[str, int, int]] = []
+
+    def rec(a: int, b: int, i: int) -> None:
+        if a >= b:
+            return
+        step = TIER_SECONDS[tiers[i]]
+        lo = -(-a // step) * step
+        hi = (b // step) * step
+        if lo < hi:
+            rec(a, lo, i - 1)
+            parts.append((tiers[i], lo, hi))
+            rec(hi, b, i - 1)
+        else:
+            rec(a, b, i - 1)
+
+    rec(t0, t1, len(tiers) - 1)
+    return sorted(parts, key=lambda p: p[1])
+
+
+def stitched_totals(
+    tier_dfs: dict[str, DataFrame],
+    t0: int,
+    t1: int,
+    key_cols: tuple[str, ...] = ("host",),
+    bucket: str = "bucket_ts",
+) -> DataFrame:
+    """Per-key (doc_count, bytes_sum) totals over [t0, t1), summing each
+    decomposed sub-range from its own tier. Exact because every tier is an
+    exact aggregate of the finer one (cascade invariant, pinned by
+    test_all_tiers_exact_match). ``tier_dfs`` maps tier name → that tier's
+    DataFrame; only tiers present participate. One shuffle (the final
+    groupBy) over rows already reduced by the coarse tiers."""
+    from functools import reduce
+
+    avail = [t for t in TIER_ORDER if t in tier_dfs]
+    pieces = []
+    for tier, a, b in decompose_range(t0, t1, avail):
+        df = tier_dfs[tier]
+        sec = F.col(bucket).cast("long")
+        pieces.append(
+            df.filter((sec >= a) & (sec < b)).select(
+                *key_cols, "doc_count", "bytes_sum"
+            )
+        )
+    u = reduce(lambda x, y: x.unionByName(y), pieces)
+    return u.groupBy(*key_cols).agg(
+        F.sum("doc_count").alias("doc_count"),
+        F.sum("bytes_sum").alias("bytes_sum"),
+    )

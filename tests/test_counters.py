@@ -1,0 +1,115 @@
+"""counter_rate / time_weighted_avg vs hand-computed and pandas oracles."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mimirsbrunn_spark.operators.counters import counter_rate, time_weighted_avg
+
+
+@pytest.fixture(scope="module")
+def counter_df(spark):
+    rows = [
+        # host a: steady counter, one reset at t=300 (50 -> 7)
+        ("a", 0, 10),
+        ("a", 60, 22),
+        ("a", 180, 46),
+        ("a", 300, 7),
+        ("a", 360, 19),
+        # host b: single sample (rate undefined)
+        ("b", 0, 5),
+        # host c: duplicate timestamp (dt=0 -> NULL rate, not an error)
+        ("c", 100, 3),
+        ("c", 100, 9),
+    ]
+    return spark.createDataFrame(rows, "host string, ts_sec long, counter long")
+
+
+def test_counter_rate_resets_and_edges(counter_df):
+    rows = counter_rate(counter_df, ["host"]).collect()
+    by = {(r["host"], r["ts_sec"]): (r["rate"], r["is_reset"]) for r in rows}
+    assert by[("a", 0)] == (None, False)
+    assert by[("a", 60)] == pytest.approx((12 / 60, False))
+    assert by[("a", 180)] == pytest.approx((24 / 120, False))
+    # reset: delta = post-reset value, not 7-46
+    assert by[("a", 300)][0] == pytest.approx(7 / 120)
+    assert by[("a", 300)][1] is True
+    assert by[("a", 360)] == pytest.approx((12 / 60, False))
+    assert by[("b", 0)] == (None, False)
+    # dup timestamp: second row has dt=0 -> NULL rate
+    rates_c = [r["rate"] for r in rows if r["host"] == "c"]
+    assert len(rates_c) == 2 and all(x is None for x in rates_c)
+
+
+def test_counter_rate_matches_pandas(spark, pages_df):
+    """Random-ish fixture: per-host minutely cumsum counter with wrap."""
+    from pyspark.sql import Window
+
+    from mimirsbrunn_spark.ingest import with_host
+
+    hs = (
+        with_host(pages_df).groupBy(
+            "host", (F.unix_timestamp("warc_ts") - F.unix_timestamp("warc_ts") % 60).alias("ts_sec")
+        )
+        .agg(F.sum("page_size").alias("b"))
+    )
+    w = Window.partitionBy("host").orderBy("ts_sec")
+    c = hs.select("host", "ts_sec", (F.sum("b").over(w) % 10_000).alias("counter"))
+    got = counter_rate(c, ["host"]).toPandas().sort_values(["host", "ts_sec"])
+
+    pdf = c.toPandas().sort_values(["host", "ts_sec"])
+    out = []
+    for host, g in pdf.groupby("host"):
+        prev_v = prev_t = None
+        for _, r in g.iterrows():
+            if prev_v is None:
+                out.append((host, r.ts_sec, None, False))
+            else:
+                delta = r.counter - prev_v if r.counter >= prev_v else r.counter
+                out.append((host, r.ts_sec, delta / (r.ts_sec - prev_t), r.counter < prev_v))
+            prev_v, prev_t = r.counter, r.ts_sec
+    want = pd.DataFrame(out, columns=["host", "ts_sec", "rate", "is_reset"]).sort_values(
+        ["host", "ts_sec"]
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_time_weighted_avg_clipping(spark):
+    rows = [
+        # host a: samples at 0(v=10), 100(v=20), 250(v=40); window [50, 200)
+        #   seg 0->100 clipped to [50,100): 10 * 50
+        #   seg 100->250 clipped to [100,200): 20 * 100
+        #   => twa = (500 + 2000) / 150 = 16.666...
+        ("a", 0, 10),
+        ("a", 100, 20),
+        ("a", 250, 40),
+        # host b: entirely after the window -> omitted
+        ("b", 300, 5),
+        # host c: single sample before the window, locf anchors whole window
+        ("c", 10, 7),
+    ]
+    df = spark.createDataFrame(rows, "host string, ts_sec long, value long")
+    got = {r["host"]: r for r in time_weighted_avg(df, ["host"], t0=50, t1=200).collect()}
+    assert set(got) == {"a", "c"}
+    assert got["a"]["twa"] == pytest.approx(2500 / 150)
+    assert got["a"]["covered_sec"] == 150
+    assert got["c"]["twa"] == pytest.approx(7.0)
+    assert got["c"]["covered_sec"] == 150
+
+
+def test_gate_queries_run(spark):
+    """The two new gate entries execute and produce stable schemas at sf0.001
+    (value equality vs DuckDB is the driver's check_oracle job)."""
+    from mimirsbrunn_spark.gate import q_counter_rate, q_time_weighted
+
+    r = q_counter_rate(spark, "/root/testdata/sf0.001")
+    assert r.columns == ["host", "ts_sec", "rate", "is_reset"]
+    assert r.count() > 0 and r.filter("is_reset").count() > 0
+    t = q_time_weighted(spark, "/root/testdata/sf0.001")
+    assert t.columns == ["host", "twa", "covered_sec"]
+    assert t.count() > 0

@@ -1,0 +1,109 @@
+"""Stitched multi-tier range reads + real-time continuous aggregates."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimirsbrunn_spark.tiers import decompose_range
+from mimirsbrunn_spark.series import TIER_SECONDS
+
+
+def test_decompose_range_properties():
+    # contiguous, non-overlapping, aligned, coarsest-interior
+    t0 = 60 * 7
+    t1 = t0 + 95 * 86400 + 2 * 3600 + 11 * 60
+    parts = decompose_range(t0, t1)
+    assert parts[0][1] == t0 and parts[-1][2] == t1
+    for (_, _, b1), (_, a2, _) in zip(parts, parts[1:]):
+        assert b1 == a2
+    for tier, a, b in parts:
+        step = TIER_SECONDS[tier]
+        assert a % step == 0 and b % step == 0 and a < b
+    assert any(t == "30d" for t, _, _ in parts)
+    # tiny range stays in the finest tier
+    assert decompose_range(0, 180) == [("1m", 0, 180)]
+    with pytest.raises(ValueError):
+        decompose_range(30, 180)
+
+
+@pytest.fixture(scope="module")
+def published(spark, small_pages_path, tmp_path_factory):
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    out = str(tmp_path_factory.mktemp("stitched") / "out")
+    run_rollup_job(spark, small_pages_path, out)
+    return out
+
+
+def test_read_range_total_equals_base_series(spark, published):
+    """Stitched totals from published tier tables == direct sum over the
+    published 1m series, and coarse tiers genuinely serve the interior."""
+    from mimirsbrunn_spark.query_api import read_range_total
+    from mimirsbrunn_spark.tables import SnapshotTable
+
+    s = SnapshotTable(f"{published}/series_1m").read(spark).drop("pkey", "day")
+    mn, mx = (
+        s.agg(F.min(F.col("bucket_ts").cast("long")), F.max(F.col("bucket_ts").cast("long")))
+        .first()
+    )
+    t0 = mn - (mn % 60) + 3600 * 5 + 60 * 7
+    t1 = mx - (mx % 60) - 60 * 3
+    parts = decompose_range(t0, t1)
+    assert {t for t, _, _ in parts} >= {"1m", "1h", "1d"}
+
+    got = read_range_total(spark, published, t0, t1)
+    sec = F.col("bucket_ts").cast("long")
+    want = (
+        s.filter((sec >= t0) & (sec < t1))
+        .groupBy("host")
+        .agg(F.sum("doc_count").alias("doc_count"), F.sum("bytes_sum").alias("bytes_sum"))
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_read_realtime_equals_full_rebuild(spark, small_pages_path, tmp_path):
+    """Publish only the first days; read_realtime over the full pages set
+    must equal a full rebuild for every tier, while scanning only the raw
+    tail (watermark split + straddling-bucket recompute)."""
+    from mimirsbrunn_spark import series, tiers
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+    from mimirsbrunn_spark.query_api import read_realtime
+
+    pages = spark.read.parquet(small_pages_path)
+    days = sorted(
+        r[0]
+        for r in pages.select(F.date_format("warc_ts", "yyyy-MM-dd")).distinct().collect()
+    )
+    assert len(days) >= 4
+    cut = days[2]  # publish days[0..2], leave the rest as the fresh tail
+    cut_end = int(
+        dt.datetime.fromisoformat(cut).replace(tzinfo=dt.timezone.utc).timestamp()
+    ) + 86400
+    published_pages = pages.filter(F.col("warc_ts").cast("long") < cut_end)
+    pub_path = str(tmp_path / "pages_pub")
+    published_pages.write.parquet(pub_path)
+    out = str(tmp_path / "out_rt")
+    run_rollup_job(spark, pub_path, out)
+
+    full = tiers.cascade(series.series_1m(pages))
+    for tier in ("1m", "1h", "1d", "30d"):
+        got = read_realtime(spark, out, tier, pages)
+        want = full[tier]
+        assert got.count() == want.count() > 0, tier
+        assert got.exceptAll(want).count() == 0, tier
+        assert want.exceptAll(got).count() == 0, tier
+
+
+def test_read_realtime_no_tail_is_materialized_only(spark, published, small_pages_path):
+    """With no rows past the watermark the realtime read degenerates to the
+    published tables (tail aggregate is empty, not wrong)."""
+    from mimirsbrunn_spark import series, tiers
+    from mimirsbrunn_spark.query_api import read_realtime
+
+    pages = spark.read.parquet(small_pages_path)
+    want = tiers.cascade(series.series_1m(pages))["1h"]
+    got = read_realtime(spark, published, "1h", pages)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0

@@ -138,6 +138,7 @@ class MemoryTable:
         self._files = []  # list of (partition_value, pandas_df)
         self._schema = None
         self._committed = False
+        self._snapshot_id = None
 
     def commit(self, df, mode="append", meta=None, partition_by=None):
         pdf = df.toPandas()
@@ -153,6 +154,7 @@ class MemoryTable:
         else:
             self._files.extend(new)
         self._committed = True
+        self._snapshot_id = (self._snapshot_id or 0) + 1
         return len(self._files)
 
     def read(self, spark=None, partition_min=None, partition_max=None, **_):
@@ -177,6 +179,11 @@ class MemoryTable:
 
     def exists(self):
         return self._committed
+
+    def current_snapshot_id(self):
+        # commit counter, None before the first commit; no snapshot-meta
+        # introspection, so _derived_in_sync falls back to full rebuild
+        return self._snapshot_id
 
     def drop_partition_values(self, values, meta=None):
         values = set(values)
