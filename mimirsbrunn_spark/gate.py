@@ -279,21 +279,11 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-host byte counter: cumulative bytes per 1m bucket, wrapped modulo
     200 so the fixture genuinely contains resets at every SF (per-host
     cumulative strlen(props) totals are only ~600 at sf0.001)."""
-    from pyspark.sql import Window
-
     from .operators.counters import counter_rate
 
-    hs = (
-        pages_df(spark, sf_dir)
-        .groupBy("host", _bucket("warc_sec", 60))
-        .agg(F.sum("page_size").alias("b"))
-        .withColumnRenamed("bucket_sec", "ts_sec")
+    return counter_rate(
+        _minute_counter(spark, sf_dir), ["host"], ts_col="ts_sec", value_col="counter"
     )
-    w = Window.partitionBy("host").orderBy("ts_sec")
-    c = hs.select(
-        "host", "ts_sec", (F.sum("b").over(w) % 200).alias("counter")
-    )
-    return counter_rate(c, ["host"], ts_col="ts_sec", value_col="counter")
 
 
 SQL_COUNTER_RATE = f"""
@@ -421,6 +411,228 @@ GROUP BY host
 """
 
 
+def _minute_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the counter gates: per-host minutely cumulative
+    byte counter wrapped modulo 200 (resets occur at every SF)."""
+    from pyspark.sql import Window
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 60))
+        .agg(F.sum("page_size").alias("b"))
+        .withColumnRenamed("bucket_sec", "ts_sec")
+    )
+    w = Window.partitionBy("host").orderBy("ts_sec")
+    return hs.select("host", "ts_sec", (F.sum("b").over(w) % 200).alias("counter"))
+
+
+SQL_MINUTE_COUNTER_CTE = """
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 60) AS ts_sec,
+         CAST(SUM(page_size) AS BIGINT) AS b
+  FROM pages GROUP BY 1, 2
+),
+c AS (
+  SELECT host, ts_sec,
+         CAST(SUM(b) OVER (PARTITION BY host ORDER BY ts_sec) % 200 AS BIGINT)
+           AS counter
+  FROM hs
+)
+"""
+
+
+def q_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware hourly increase of the wrapped byte counter
+    (operators/counters.py counter_increase)."""
+    from .operators.counters import counter_increase
+
+    return counter_increase(_minute_counter(spark, sf_dir), ["host"], bucket_sec=3600)
+
+
+SQL_COUNTER_INCREASE = f"""
+WITH {PAGES_CTE},{SQL_MINUTE_COUNTER_CTE},
+l AS (
+  SELECT host, ts_sec, counter,
+         LAG(counter) OVER (PARTITION BY host ORDER BY ts_sec) AS prev_v
+  FROM c
+)
+SELECT host, ts_sec - (ts_sec % 3600) AS bucket_ts_sec,
+       CAST(SUM(CASE WHEN counter >= prev_v THEN counter - prev_v
+                     ELSE counter END) AS BIGINT)                 AS increase,
+       CAST(SUM(CASE WHEN counter < prev_v THEN 1 ELSE 0 END) AS BIGINT)
+                                                                  AS n_resets
+FROM l
+WHERE prev_v IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly candlestick over the minutely per-host byte series
+    (operators/counters.py ohlc) — all-integer output."""
+    from .operators.counters import ohlc
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 60))
+        .agg(F.sum("page_size").alias("value"))
+        .withColumnRenamed("bucket_sec", "ts_sec")
+    )
+    return ohlc(hs, ["host"], bucket_sec=3600)
+
+
+SQL_OHLC_1H = f"""
+WITH {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 60) AS ts_sec,
+         CAST(SUM(page_size) AS BIGINT) AS value
+  FROM pages GROUP BY 1, 2
+)
+SELECT host, ts_sec - (ts_sec % 3600)      AS bucket_ts_sec,
+       arg_min(value, ts_sec)              AS open,
+       MAX(value)                          AS high,
+       MIN(value)                          AS low,
+       arg_max(value, ts_sec)              AS close,
+       CAST(COUNT(*) AS BIGINT)            AS n_samples
+FROM hs
+GROUP BY 1, 2
+"""
+
+
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state over the hourly host series (operators/counters.py
+    state_durations): state = traffic level from doc_count thresholds,
+    locf segments clipped to the middle half of the time range."""
+    from .operators.counters import state_durations
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 3600))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .withColumnRenamed("bucket_sec", "ts_sec")
+    )
+    hs = hs.withColumn(
+        "state",
+        F.when(F.col("doc_count") >= 20, "high")
+        .when(F.col("doc_count") >= 5, "mid")
+        .otherwise("low"),
+    )
+    mn, mx = hs.agg(F.min("ts_sec"), F.max("ts_sec")).first()
+    q = (mx - mn) // 4
+    return state_durations(hs, ["host"], t0=mn + q, t1=mn + 3 * q)
+
+
+SQL_STATE_DURATIONS = f"""
+WITH {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 3600) AS ts_sec,
+         COUNT(*) AS doc_count
+  FROM pages GROUP BY 1, 2
+),
+st AS (
+  SELECT host, ts_sec,
+         CASE WHEN doc_count >= 20 THEN 'high'
+              WHEN doc_count >= 5  THEN 'mid'
+              ELSE 'low' END AS state
+  FROM hs
+),
+b AS (
+  SELECT MIN(ts_sec) AS mn, (MAX(ts_sec) - MIN(ts_sec)) // 4 AS q FROM hs
+),
+segs AS (
+  SELECT host, state,
+         GREATEST(
+           LEAST(COALESCE(LEAD(ts_sec) OVER (PARTITION BY host ORDER BY ts_sec),
+                          b.mn + 3 * b.q),
+                 b.mn + 3 * b.q)
+           - GREATEST(ts_sec, b.mn + b.q),
+           0) AS w
+  FROM st, b
+)
+SELECT host, state, CAST(SUM(w) AS BIGINT) AS duration_sec
+FROM segs
+GROUP BY 1, 2
+HAVING SUM(w) > 0
+"""
+
+
+def q_heartbeat_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liveness from fetch heartbeats (operators/counters.py
+    heartbeat_uptime): one heartbeat per (host, minute), ttl 300 s —
+    interval-union uptime per host."""
+    from .operators.counters import heartbeat_uptime
+
+    hb = (
+        pages_df(spark, sf_dir)
+        .select("host", _bucket("warc_sec", 60))
+        .distinct()
+        .withColumnRenamed("bucket_sec", "ts_sec")
+    )
+    return heartbeat_uptime(hb, ["host"], ttl_sec=300)
+
+
+SQL_HEARTBEAT_UPTIME = f"""
+WITH {PAGES_CTE},
+hb AS (
+  SELECT DISTINCT host, warc_sec - (warc_sec % 60) AS ts_sec FROM pages
+),
+seg AS (
+  SELECT host, ts_sec,
+         GREATEST(
+           (ts_sec + 300)
+           - GREATEST(ts_sec,
+                      COALESCE(MAX(ts_sec + 300) OVER (
+                        PARTITION BY host ORDER BY ts_sec
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        ts_sec)),
+           0) AS c
+  FROM hb
+)
+SELECT host,
+       CAST(SUM(c) AS BIGINT)   AS uptime_sec,
+       CAST(COUNT(*) AS BIGINT) AS n_heartbeats,
+       MIN(ts_sec)              AS first_ts,
+       MAX(ts_sec)              AS last_ts
+FROM seg
+GROUP BY host
+"""
+
+
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 pixel-bucket downsampling of the minutely byte series
+    (operators/downsample.py) at 2h buckets — the deterministic row SET of
+    first/last/min/max carriers per bucket."""
+    from .operators.downsample import m4_downsample
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 60))
+        .agg(F.sum("page_size").alias("value"))
+        .withColumnRenamed("bucket_sec", "ts_sec")
+    )
+    return m4_downsample(hs, ["host"], bucket_sec=7200)
+
+
+SQL_M4_DOWNSAMPLE = f"""
+WITH {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 60) AS ts_sec,
+         CAST(SUM(page_size) AS BIGINT) AS value
+  FROM pages GROUP BY 1, 2
+),
+w AS (
+  SELECT host, ts_sec, value, ts_sec - (ts_sec % 7200) AS bucket_ts_sec,
+         MIN(ts_sec) OVER pb AS tmin, MAX(ts_sec) OVER pb AS tmax,
+         MIN(value)  OVER pb AS vmin, MAX(value)  OVER pb AS vmax
+  FROM hs
+  WINDOW pb AS (PARTITION BY host, ts_sec - (ts_sec % 7200))
+)
+SELECT host, ts_sec, value, bucket_ts_sec
+FROM w
+WHERE ts_sec = tmin OR ts_sec = tmax OR value = vmin OR value = vmax
+"""
+
+
 def core_queries() -> dict:
     qs = {
         "series_1m": _tier_query(60),
@@ -435,7 +647,12 @@ def core_queries() -> dict:
         "gapfill_lang_1d": q_gapfill_lang_1d,
         "codec_roundtrip": q_codec_roundtrip,
         "counter_rate": q_counter_rate,
+        "counter_increase": q_counter_increase,
         "time_weighted_avg": q_time_weighted,
+        "state_durations": q_state_durations,
+        "ohlc_1h": q_ohlc_1h,
+        "heartbeat_uptime": q_heartbeat_uptime,
+        "m4_downsample": q_m4_downsample,
         "range_total_stitched": q_range_total_stitched,
     }
     return qs
@@ -455,7 +672,12 @@ def core_oracle_sql() -> dict:
         "gapfill_lang_1d": SQL_GAPFILL_LANG_1D,
         "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
         "counter_rate": SQL_COUNTER_RATE,
+        "counter_increase": SQL_COUNTER_INCREASE,
         "time_weighted_avg": SQL_TIME_WEIGHTED,
+        "state_durations": SQL_STATE_DURATIONS,
+        "ohlc_1h": SQL_OHLC_1H,
+        "heartbeat_uptime": SQL_HEARTBEAT_UPTIME,
+        "m4_downsample": SQL_M4_DOWNSAMPLE,
         "range_total_stitched": SQL_RANGE_TOTAL_STITCHED,
     }
 

@@ -1,15 +1,27 @@
-"""Counter / gauge aggregates for irregular time series — the two classic
+"""Counter / gauge aggregates for irregular time series — the classic
 timeseries-engine reads the rollup tiers don't directly answer:
 
 - ``counter_rate``: per-key instantaneous rate of a monotonic counter with
   RESET detection (a counter that wraps or restarts yields delta < 0; the
   post-reset value itself is the delta, the standard Prometheus/Timescale
   ``rate``/``counter_agg`` convention).
+- ``counter_increase``: reset-aware total increase per fixed time bucket
+  (Prometheus ``increase`` / Timescale ``counter_agg -> delta`` rolled up);
+  each sample's delta attributes to the bucket of the LATER sample.
 - ``time_weighted_avg``: locf time-weighted mean over a query window
   [t0, t1) — each observation weighted by how long it was the latest value,
   segments clipped to the window (TimescaleDB ``time_weight('locf')``).
+- ``state_durations``: seconds spent in each locf state over [t0, t1)
+  (TimescaleDB ``state_agg``/``duration_in``), same clipped-segment math
+  grouped by the state value.
+- ``ohlc``: per-bucket open/high/low/close (TimescaleDB ``candlestick_agg``)
+  via argmin/argmax — requires unique timestamps within a key (true for the
+  engine's series tables, one row per (key, bucket)).
+- ``heartbeat_uptime``: covered seconds of the union of [ts, ts+ttl)
+  liveness intervals per key (TimescaleDB ``heartbeat_agg`` → uptime) — the
+  interval-union length computed with a running-max window, no merge loop.
 
-Both are pure window/aggregate math over the engine's series tables (no
+All are pure window/aggregate math over the engine's series tables (no
 UDFs, whole-stage codegen end to end) and shuffle once on the series key —
 the same partitioning every other per-host window op in this engine uses,
 so at 100 TB they ride the tiers' existing layout.
@@ -96,4 +108,122 @@ def time_weighted_avg(
         *key_cols,
         (F.col("_svw").cast("double") / F.col("covered_sec").cast("double")).alias("twa"),
         "covered_sec",
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_sec: int,
+    ts_col: str = "ts_sec",
+    value_col: str = "counter",
+) -> DataFrame:
+    """Reset-aware total counter increase per ``bucket_sec`` bucket:
+    each sample's delta vs the key's previous sample (post-reset value
+    itself on reset, as in ``counter_rate``) attributed to the bucket of
+    the LATER sample; the key's first sample contributes nothing. Output:
+    (keys, bucket_sec aligned ts ``bucket_ts_sec``, increase, n_resets).
+
+    Two shuffles sharing the key prefix (window on keys, then
+    groupBy(keys, bucket)) — AQE coalesces the second into the small
+    per-bucket row set."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev_v = F.lag(value_col).over(w)
+    # NULL prev (key's first sample) must yield NULL delta, not fall into
+    # the otherwise-branch (when(NULL-cond) does)
+    delta = (
+        F.when(prev_v.isNull(), F.lit(None).cast("long"))
+        .when(F.col(value_col) >= prev_v, F.col(value_col) - prev_v)
+        .otherwise(F.col(value_col))
+    )
+    rows = df.select(
+        *key_cols,
+        (F.col(ts_col) - F.col(ts_col) % bucket_sec).alias("bucket_ts_sec"),
+        delta.alias("_d"),
+        (F.col(value_col) < prev_v).cast("int").alias("_r"),
+    ).filter(F.col("_d").isNotNull())
+    return rows.groupBy(*key_cols, "bucket_ts_sec").agg(
+        F.sum("_d").alias("increase"), F.sum("_r").alias("n_resets")
+    )
+
+
+def state_durations(
+    df: DataFrame,
+    key_cols: list[str],
+    t0: int,
+    t1: int,
+    ts_col: str = "ts_sec",
+    state_col: str = "state",
+) -> DataFrame:
+    """Seconds spent in each locf state over [t0, t1): each sample's state
+    holds until the key's next sample or t1, segments clipped to the
+    window (the ``time_weighted_avg`` segment math grouped by state).
+    Output: (keys, state, duration_sec), zero-length segments omitted."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    seg_end = F.least(F.coalesce(F.lead(ts_col).over(w), F.lit(t1)), F.lit(t1))
+    seg_start = F.greatest(F.col(ts_col), F.lit(t0))
+    weight = F.greatest(seg_end - seg_start, F.lit(0))
+    return (
+        df.select(*key_cols, F.col(state_col).alias("state"), weight.cast("long").alias("_w"))
+        .groupBy(*key_cols, "state")
+        .agg(F.sum("_w").alias("duration_sec"))
+        .filter(F.col("duration_sec") > 0)
+    )
+
+
+def ohlc(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_sec: int,
+    ts_col: str = "ts_sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-bucket candlestick: open = value at the bucket's earliest ts,
+    close = at its latest, high/low = max/min. Single map-side-combinable
+    groupBy (min_by/max_by partial-aggregate like min/max). Timestamps must
+    be unique within (keys, bucket) for open/close determinism — true for
+    the engine's series tables."""
+    b = (F.col(ts_col) - F.col(ts_col) % bucket_sec).alias("bucket_ts_sec")
+    return df.groupBy(*key_cols, b).agg(
+        F.min_by(value_col, ts_col).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, ts_col).alias("close"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+def heartbeat_uptime(
+    df: DataFrame,
+    key_cols: list[str],
+    ttl_sec: int,
+    ts_col: str = "ts_sec",
+) -> DataFrame:
+    """Union length of the per-key liveness intervals [ts, ts+ttl): each
+    heartbeat extends liveness by ``ttl_sec``; overlapping intervals merge.
+    Computed without an interval-merge loop: with samples ordered by ts,
+    each row adds max(0, (ts+ttl) − max(ts, running-max of previous ends))
+    — the standard one-pass interval-union identity. Output: (keys,
+    uptime_sec, n_heartbeats, first_ts, last_ts). One shuffle (window and
+    groupBy share the key)."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col(ts_col) + ttl_sec
+    prev_max_end = F.max(F.col(ts_col) + ttl_sec).over(w)
+    covered = F.greatest(
+        end - F.greatest(F.col(ts_col), F.coalesce(prev_max_end, F.col(ts_col))),
+        F.lit(0),
+    )
+    return (
+        df.select(*key_cols, F.col(ts_col), covered.alias("_c"))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("_c").alias("uptime_sec"),
+            F.count(F.lit(1)).alias("n_heartbeats"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
     )

@@ -102,6 +102,88 @@ def test_time_weighted_avg_clipping(spark):
     assert got["c"]["covered_sec"] == 150
 
 
+def test_counter_increase_buckets_and_resets(spark):
+    from mimirsbrunn_spark.operators.counters import counter_increase
+
+    rows = [
+        # host a: deltas 12 (t=60), 24 (t=180), reset->7 (t=3700), 13 (t=3800)
+        ("a", 0, 10),
+        ("a", 60, 22),
+        ("a", 180, 46),
+        ("a", 3700, 7),
+        ("a", 3800, 20),
+        # host b: single sample -> no increase rows at all
+        ("b", 0, 5),
+    ]
+    df = spark.createDataFrame(rows, "host string, ts_sec long, counter long")
+    got = {
+        (r["host"], r["bucket_ts_sec"]): (r["increase"], r["n_resets"])
+        for r in counter_increase(df, ["host"], bucket_sec=3600).collect()
+    }
+    assert got == {("a", 0): (36, 0), ("a", 3600): (20, 1)}
+
+
+def test_ohlc_hand_computed(spark):
+    from mimirsbrunn_spark.operators.counters import ohlc
+
+    rows = [
+        ("a", 0, 10),
+        ("a", 60, 40),
+        ("a", 120, 5),
+        ("a", 3599, 20),  # same bucket; close carrier
+        ("a", 3600, 99),  # next bucket alone
+    ]
+    df = spark.createDataFrame(rows, "host string, ts_sec long, value long")
+    got = {
+        (r["host"], r["bucket_ts_sec"]): (r["open"], r["high"], r["low"], r["close"], r["n_samples"])
+        for r in ohlc(df, ["host"], bucket_sec=3600).collect()
+    }
+    assert got == {("a", 0): (10, 40, 5, 20, 4), ("a", 3600): (99, 99, 99, 99, 1)}
+
+
+def test_state_durations_hand_computed(spark):
+    from mimirsbrunn_spark.operators.counters import state_durations
+
+    rows = [
+        # up [0,100), down [100,250), up [250, t1)
+        ("a", 0, "up"),
+        ("a", 100, "down"),
+        ("a", 250, "up"),
+        # b: enters after t0; locf only from its first sample
+        ("b", 150, "up"),
+    ]
+    df = spark.createDataFrame(rows, "host string, ts_sec long, state string")
+    got = {
+        (r["host"], r["state"]): r["duration_sec"]
+        for r in state_durations(df, ["host"], t0=50, t1=300).collect()
+    }
+    assert got == {("a", "up"): 50 + 50, ("a", "down"): 150, ("b", "up"): 150}
+
+
+def test_heartbeat_uptime_interval_union(spark):
+    from mimirsbrunn_spark.operators.counters import heartbeat_uptime
+
+    rows = [
+        # a: [0,300) ∪ [100,400) ∪ [1000,1300) -> 400 + 300
+        ("a", 0),
+        ("a", 100),
+        ("a", 1000),
+        # b: heartbeat contained in an earlier interval (running-max case):
+        # [0,300) ∪ [50,350) ∪ [200,500) -> 500
+        ("b", 0),
+        ("b", 50),
+        ("b", 200),
+        # c: single heartbeat
+        ("c", 7),
+    ]
+    df = spark.createDataFrame(rows, "host string, ts_sec long")
+    got = {
+        r["host"]: (r["uptime_sec"], r["n_heartbeats"], r["first_ts"], r["last_ts"])
+        for r in heartbeat_uptime(df, ["host"], ttl_sec=300).collect()
+    }
+    assert got == {"a": (700, 3, 0, 1000), "b": (500, 3, 0, 200), "c": (300, 1, 7, 7)}
+
+
 def test_gate_queries_run(spark):
     """The two new gate entries execute and produce stable schemas at sf0.001
     (value equality vs DuckDB is the driver's check_oracle job)."""
