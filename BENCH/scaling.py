@@ -69,11 +69,21 @@ def bench_table(n_rows: int) -> str:
     return path
 
 
-def run_level(cpus: int, pages: str) -> dict:
+def run_level(cpus: int, pages: str, pin: bool = True) -> dict:
+    """One fresh-JVM run of the workload at ``cpus`` parallelism.
+
+    ``pin=True`` (default) wraps the process in ``taskset -c 0..cpus-1``: a
+    hard cpuset, so JVM service threads (GC, JIT, shuffle/netty pools) CANNOT
+    borrow idle host cores the way a bare local[N] lets them — local[1]
+    without the pin is really "1 compute thread + 32 CPUs of free helpers",
+    which overstates small-N throughput and understates scaling efficiency.
+    Java 17 sizes its pools from the affinity mask, so this faithfully
+    emulates an N-core executor host."""
     code = WORKLOAD.format(repo=REPO, cpus=cpus, pages=pages)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True, cwd="/tmp"
-    )
+    cmd = [sys.executable, "-c", code]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd="/tmp")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -103,6 +113,8 @@ def main() -> None:
                 "scaling_efficiency": round(eff, 3),
                 "target": 0.8,
                 "passed": eff >= 0.8,
+                "methodology": "hard cpuset per level (taskset -c 0..N-1); "
+                "fresh JVM per run; interleaved reps; max-throughput per level",
             }
         )
     )

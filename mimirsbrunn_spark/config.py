@@ -17,8 +17,10 @@ from dataclasses import dataclass, field, fields
 class EngineConfig:
     # tiers
     tiers: list[str] = field(default_factory=lambda: ["1m", "1h", "1d", "30d"])
-    # skew handling
-    n_salts: int = 16
+    # skew handling (None = auto: min(16, shuffle partitions) resolved at
+    # runtime — salts beyond the reducer count only inflate the partial-agg
+    # exchange; see series._auto_salts)
+    n_salts: int | None = None
     # gap-fill
     gapfill_metrics: list[str] = field(default_factory=lambda: ["doc_count", "bytes_sum"])
     # retention (seconds per tier; None/absent = keep forever)

@@ -633,6 +633,37 @@ WHERE ts_sec = tmin OR ts_sec = tmax OR value = vmin OR value = vmax
 """
 
 
+def q_distinct_urls_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count continuous aggregate (operators/distinct.py
+    distinct_rollup): distinct url ids per (host, day). The oracle-able
+    twin of the mergeable HLL sketch cascade (which is pytest-verified via
+    its merge-equivalence property, not SQL-expressible)."""
+    from .operators.distinct import distinct_rollup
+
+    pg = pages_df(spark, sf_dir).select(
+        "host",
+        F.timestamp_seconds("warc_sec").alias("warc_ts"),
+        (F.col("event_id") % 997).cast("string").alias("url"),
+    )
+    out = distinct_rollup(pg, "1d", by=("host",), item_col="url")
+    return out.select(
+        "host",
+        F.col("bucket_ts").cast("long").alias("bucket_sec"),
+        "distinct_count",
+    )
+
+
+SQL_DISTINCT_URLS_1D = f"""
+WITH {PAGES_CTE}
+SELECT host,
+       warc_sec - (warc_sec % 86400) AS bucket_sec,
+       CAST(COUNT(DISTINCT CAST(event_id % 997 AS VARCHAR)) AS BIGINT)
+         AS distinct_count
+FROM pages
+GROUP BY 1, 2
+"""
+
+
 def core_queries() -> dict:
     qs = {
         "series_1m": _tier_query(60),
@@ -653,6 +684,7 @@ def core_queries() -> dict:
         "ohlc_1h": q_ohlc_1h,
         "heartbeat_uptime": q_heartbeat_uptime,
         "m4_downsample": q_m4_downsample,
+        "distinct_urls_1d": q_distinct_urls_1d,
         "range_total_stitched": q_range_total_stitched,
     }
     return qs
@@ -678,6 +710,7 @@ def core_oracle_sql() -> dict:
         "ohlc_1h": SQL_OHLC_1H,
         "heartbeat_uptime": SQL_HEARTBEAT_UPTIME,
         "m4_downsample": SQL_M4_DOWNSAMPLE,
+        "distinct_urls_1d": SQL_DISTINCT_URLS_1D,
         "range_total_stitched": SQL_RANGE_TOTAL_STITCHED,
     }
 

@@ -85,6 +85,43 @@ def read_rollup(
     return out
 
 
+def read_plot(
+    spark: SparkSession,
+    out_dir: str,
+    t0: int,
+    t1: int,
+    hosts: list[str] | None = None,
+    metric: str = "doc_count",
+    n_px: int = 800,
+    method: str = "m4",
+) -> DataFrame:
+    """Downsample-on-read for dashboards: pick the finest tier that keeps
+    the per-series point count near the renderer's budget (~40 raw points
+    per pixel so the downsampler has material), serve it with manifest
+    pruning (read_rollup), collapse langs to the host series, then reduce
+    to ~``n_px`` points per host — ``method='m4'`` (pixel-exact row set,
+    ≤4 rows/px) or ``'lttb'`` (perceptual, exactly n_px). Output: (host,
+    ts_sec, value[, bucket_ts_sec for m4]).
+
+    Scale shape: everything up to the downsampler is the pruned tier read;
+    both downsamplers shuffle once on the series key. TimescaleDB analog:
+    the m4/lttb visualization hyperfunctions over continuous aggregates."""
+    from .operators.downsample import lttb_downsample, m4_downsample
+
+    assert method in ("m4", "lttb")
+    tier = pick_tier(t0, t1, max_points=max(n_px * 40, n_px))
+    df = read_rollup(spark, out_dir, tier, t0=t0, t1=t1, hosts=hosts)
+    hs = (
+        df.groupBy("host", "bucket_ts")
+        .agg(F.sum(metric).alias("value"))
+        .select("host", F.col("bucket_ts").cast("long").alias("ts_sec"), "value")
+    )
+    if method == "m4":
+        px_sec = max((t1 - t0) // max(n_px, 1), TIER_SECONDS[tier])
+        return m4_downsample(hs, ["host"], bucket_sec=px_sec)
+    return lttb_downsample(hs, ["host"], n_out=n_px)
+
+
 def read_gapfill(
     spark: SparkSession,
     out_dir: str,

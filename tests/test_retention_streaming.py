@@ -50,7 +50,7 @@ def test_vacuum_and_compact(spark, tmp_path):
 
 def test_config_layering(tmp_path):
     cfg = EngineConfig.load()
-    assert cfg.n_salts == 16
+    assert cfg.n_salts is None  # auto: resolved per-session by series._auto_salts
     toml = tmp_path / "engine.toml"
     toml.write_text("[engine]\nn_salts = 8\nminhash_k = 64\n")
     cfg = EngineConfig.load(str(toml))

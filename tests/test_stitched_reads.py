@@ -96,6 +96,41 @@ def test_read_realtime_equals_full_rebuild(spark, small_pages_path, tmp_path):
         assert want.exceptAll(got).count() == 0, tier
 
 
+def test_read_plot_downsample_on_read(spark, published):
+    """read_plot == downsampler applied to the pruned tier read it wraps;
+    lttb output is an n_out-bounded subset of the source series."""
+    from mimirsbrunn_spark.operators.downsample import m4_downsample
+    from mimirsbrunn_spark.query_api import pick_tier, read_plot, read_rollup
+    from mimirsbrunn_spark.tables import SnapshotTable
+
+    s = SnapshotTable(f"{published}/series_1m").read(spark)
+    mn, mx = s.agg(
+        F.min(F.col("bucket_ts").cast("long")), F.max(F.col("bucket_ts").cast("long"))
+    ).first()
+    t0, t1, n_px = mn, mx + 60, 50
+
+    tier = pick_tier(t0, t1, max_points=n_px * 40)
+    src = (
+        read_rollup(spark, published, tier, t0=t0, t1=t1)
+        .groupBy("host", "bucket_ts")
+        .agg(F.sum("doc_count").alias("value"))
+        .select("host", F.col("bucket_ts").cast("long").alias("ts_sec"), "value")
+    )
+    from mimirsbrunn_spark.series import TIER_SECONDS
+
+    px = max((t1 - t0) // n_px, TIER_SECONDS[tier])
+    want = m4_downsample(src, ["host"], bucket_sec=px)
+    got = read_plot(spark, published, t0, t1, n_px=n_px, method="m4")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+    lt = read_plot(spark, published, t0, t1, n_px=n_px, method="lttb")
+    per_host = {r["host"]: r["n"] for r in lt.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host and all(n <= n_px for n in per_host.values())
+    # lttb picks existing rows only
+    assert lt.join(src, ["host", "ts_sec", "value"], "left_anti").count() == 0
+
+
 def test_read_realtime_no_tail_is_materialized_only(spark, published, small_pages_path):
     """With no rows past the watermark the realtime read degenerates to the
     published tables (tail aggregate is empty, not wrong)."""
