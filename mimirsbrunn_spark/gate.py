@@ -664,6 +664,45 @@ GROUP BY 1, 2
 """
 
 
+def q_topn_urls_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 urls per 1h bucket via the heavy-hitter candidate list
+    (operators/topn.py topn_rollup + topn_serve). The finest tier is exact
+    and fully SQL-expressible (count → row_number window → cut); the
+    cascade's merge/bound semantics are pytest-verified (test_topn.py)."""
+    from .operators.topn import topn_rollup, topn_serve
+
+    pg = pages_df(spark, sf_dir).select(
+        F.timestamp_seconds("warc_sec").alias("warc_ts"),
+        (F.col("event_id") % 499).cast("string").alias("url"),
+    )
+    cand = topn_rollup(pg, "1h", n=3, slack=2)
+    return topn_serve(cand, 3).select(
+        F.col("bucket_ts").cast("long").alias("bucket_sec"),
+        "item",
+        "cnt",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_TOPN_URLS_1H = f"""
+WITH {PAGES_CTE},
+counts AS (
+  SELECT warc_sec - (warc_sec % 3600) AS bucket_sec,
+         CAST(event_id % 499 AS VARCHAR) AS item,
+         COUNT(*) AS cnt
+  FROM pages GROUP BY 1, 2
+),
+ranked AS (
+  SELECT bucket_sec, item, cnt,
+         ROW_NUMBER() OVER (PARTITION BY bucket_sec
+                            ORDER BY cnt DESC, item ASC) AS rank
+  FROM counts
+)
+SELECT bucket_sec, item, cnt, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def core_queries() -> dict:
     qs = {
         "series_1m": _tier_query(60),
@@ -685,6 +724,7 @@ def core_queries() -> dict:
         "heartbeat_uptime": q_heartbeat_uptime,
         "m4_downsample": q_m4_downsample,
         "distinct_urls_1d": q_distinct_urls_1d,
+        "topn_urls_1h": q_topn_urls_1h,
         "range_total_stitched": q_range_total_stitched,
     }
     return qs
@@ -711,6 +751,7 @@ def core_oracle_sql() -> dict:
         "heartbeat_uptime": SQL_HEARTBEAT_UPTIME,
         "m4_downsample": SQL_M4_DOWNSAMPLE,
         "distinct_urls_1d": SQL_DISTINCT_URLS_1D,
+        "topn_urls_1h": SQL_TOPN_URLS_1H,
         "range_total_stitched": SQL_RANGE_TOTAL_STITCHED,
     }
 

@@ -110,3 +110,29 @@ def test_asof_and_sessions_single_shuffle(spark):
     )
     p2 = plan_str(session_stats(e, tiebreak="event_id"), "simple")
     assert p2.count("Exchange") == 1
+
+
+def test_distinct_and_topn_plan_shapes(spark):
+    """Sketch rollup: ONE Exchange (the (keys, bucket) group shuffle),
+    hash aggregation only. Sketch cascade: one Exchange over the tiny
+    sketch rows. Top-N finest tier: one full-data Exchange for the count
+    plus the per-bucket rank window's (already aggregated) shuffle — and
+    never a SortAggregate over raw rows."""
+    from mimirsbrunn_spark.operators.distinct import sketch_cascade, sketch_rollup
+    from mimirsbrunn_spark.operators.topn import topn_rollup
+
+    pg = spark.createDataFrame(
+        [("h", 1, "u")], "host string, sec long, url string"
+    ).select("host", F.timestamp_seconds("sec").alias("warc_ts"), "url")
+
+    p = plan_str(sketch_rollup(pg, "1h"), "simple")
+    assert p.count("Exchange") == 1
+    assert "SortAggregate" not in plan_str(sketch_rollup(pg, "1h"))
+
+    p2 = plan_str(sketch_cascade(sketch_rollup(pg, "1h"), "1d"), "simple")
+    assert p2.count("Exchange") == 2  # child build + sketch-row merge
+
+    p3 = plan_str(topn_rollup(pg, "1h", n=3), "simple")
+    # count groupBy shuffles the projected raw rows once; the rank window
+    # re-shuffles only (bucket, item, cnt) aggregate rows
+    assert p3.count("Exchange") == 2 and "Join" not in p3
