@@ -1,0 +1,104 @@
+"""Calendar-aligned time buckets (UTC civil calendar) — the TimescaleDB
+``time_bucket('1 month', ts)`` analog. The fixed-width tiers (1m/1h/1d/30d,
+series.bucket_col) are epoch arithmetic; calendar months are not fixed
+width, so monthly continuous aggregates need a civil-calendar floor.
+
+Implemented with the standard days-from-civil / civil-from-days integer
+algorithm (Howard Hinnant's public-domain date algorithms) as pure Spark
+column arithmetic — no session-timezone dependence, no java.time calls, so
+a DuckDB oracle reproduces it bit-for-bit from the same integer SQL
+(``month_bucket_sql``). All inputs are non-negative epochs (post-1970 web
+data), so truncating division == floor division in both engines; the SQL
+twin still spells FLOOR() because DuckDB CAST(double AS BIGINT) ROUNDS
+while Spark's cast truncates.
+
+Reference analog: the reference's import runs are dated, calendar-grouped
+dataset versions (/root/reference/src/lib.rs index naming by date);
+TimescaleDB ships the same capability as time_bucket with month widths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _fd(x: Column, d: int) -> Column:
+    """floor(x / d) for non-negative x (truncating long cast)."""
+    return (x / F.lit(d)).cast("long")
+
+
+def civil_ym(sec: Column) -> tuple[Column, Column]:
+    """(year, month) of a UTC epoch-seconds column, via civil-from-days.
+    Valid for sec >= 0 (era arithmetic simplified for the positive range).
+    """
+    z = _fd(sec, 86400) + F.lit(719468)
+    era = _fd(z, 146097)
+    doe = z - era * 146097
+    yoe = _fd(doe - _fd(doe, 1460) + _fd(doe, 36524) - _fd(doe, 146096), 365)
+    y = yoe + era * 400
+    doy = doe - (F.lit(365) * yoe + _fd(yoe, 4) - _fd(yoe, 100))
+    mp = _fd(F.lit(5) * doy + 2, 153)
+    m = mp + F.when(mp < 10, F.lit(3)).otherwise(F.lit(-9))
+    y = y + F.when(m <= 2, F.lit(1)).otherwise(F.lit(0))
+    return y, m
+
+
+def days_from_civil_month_start(y: Column, m: Column) -> Column:
+    """Days since epoch of (y, m, 1), via days-from-civil with d=1."""
+    yy = y - F.when(m <= 2, F.lit(1)).otherwise(F.lit(0))
+    era = _fd(yy, 400)
+    yoe = yy - era * 400
+    mp = m + F.when(m > 2, F.lit(-3)).otherwise(F.lit(9))
+    doy = _fd(F.lit(153) * mp + 2, 5)  # day-of-month 1 → + (d-1) = 0
+    doe = yoe * 365 + _fd(yoe, 4) - _fd(yoe, 100) + doy
+    return era * 146097 + doe - F.lit(719468)
+
+
+def month_bucket_sec(sec: Column) -> Column:
+    """Epoch seconds of the UTC month start containing ``sec``."""
+    y, m = civil_ym(sec)
+    return days_from_civil_month_start(y, m) * 86400
+
+
+def month_bucket_sql(sec_expr: str) -> str:
+    """The same month floor as a self-contained SQL scalar expression for
+    the DuckDB oracle. FLOOR() everywhere: DuckDB integer '/' is float
+    division and CAST(double AS BIGINT) rounds-to-nearest."""
+
+    def fd(x: str, d: int) -> str:
+        return f"CAST(FLOOR(({x}) / {d}) AS BIGINT)"
+
+    z = f"({fd(sec_expr, 86400)} + 719468)"
+    era = fd(z, 146097)
+    doe = f"({z} - {era} * 146097)"
+    yoe = fd(f"{doe} - {fd(doe, 1460)} + {fd(doe, 36524)} - {fd(doe, 146096)}", 365)
+    y0 = f"({yoe} + {era} * 400)"
+    doy = f"({doe} - (365 * {yoe} + {fd(yoe, 4)} - {fd(yoe, 100)}))"
+    mp = fd(f"5 * {doy} + 2", 153)
+    m = f"({mp} + CASE WHEN {mp} < 10 THEN 3 ELSE -9 END)"
+    y = f"({y0} + CASE WHEN {m} <= 2 THEN 1 ELSE 0 END)"
+    yy = f"({y} - CASE WHEN {m} <= 2 THEN 1 ELSE 0 END)"
+    era2 = fd(yy, 400)
+    yoe2 = f"({yy} - {era2} * 400)"
+    mp2 = f"({m} + CASE WHEN {m} > 2 THEN -3 ELSE 9 END)"
+    doy2 = fd(f"153 * {mp2} + 2", 5)
+    doe2 = f"({yoe2} * 365 + {fd(yoe2, 4)} - {fd(yoe2, 100)} + {doy2})"
+    return f"(({era2} * 146097 + {doe2} - 719468) * 86400)"
+
+
+def monthly_rollup(
+    df: DataFrame,
+    by: tuple[str, ...] = ("host",),
+    ts_col: str = "warc_ts",
+    aggs=None,
+) -> DataFrame:
+    """Calendar-month continuous aggregate: one shuffle on (keys, month).
+    ``aggs``: list of (agg_expr_fn, name); default doc_count. Output:
+    (*by, month_sec, <aggs...>)."""
+    aggs = aggs or [(lambda: F.count(F.lit(1)), "doc_count")]
+    return (
+        df.withColumn("month_sec", month_bucket_sec(F.col(ts_col).cast("long")))
+        .groupBy(*by, "month_sec")
+        .agg(*[a().alias(name) for a, name in aggs])
+    )

@@ -664,6 +664,40 @@ GROUP BY 1, 2
 """
 
 
+def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month continuous aggregate (functions/timebucket.py):
+    UTC civil-calendar month floors via the days-from-civil integer
+    algorithm — no session-timezone dependence, so the DuckDB oracle runs
+    the literally identical integer SQL (month_bucket_sql)."""
+    from .functions.timebucket import monthly_rollup
+
+    pg = pages_df(spark, sf_dir).select(
+        "host", F.timestamp_seconds("warc_sec").alias("warc_ts"), "page_size"
+    )
+    return monthly_rollup(
+        pg,
+        by=("host",),
+        aggs=[
+            (lambda: F.count(F.lit(1)), "doc_count"),
+            (lambda: F.sum("page_size"), "bytes_sum"),
+        ],
+    )
+
+
+def _sql_monthly_rollup() -> str:
+    from .functions.timebucket import month_bucket_sql
+
+    return f"""
+WITH {PAGES_CTE}
+SELECT host,
+       {month_bucket_sql("warc_sec")} AS month_sec,
+       COUNT(*) AS doc_count,
+       CAST(SUM(page_size) AS BIGINT) AS bytes_sum
+FROM pages
+GROUP BY 1, 2
+"""
+
+
 def q_topn_urls_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 urls per 1h bucket via the heavy-hitter candidate list
     (operators/topn.py topn_rollup + topn_serve). The finest tier is exact
@@ -725,6 +759,7 @@ def core_queries() -> dict:
         "m4_downsample": q_m4_downsample,
         "distinct_urls_1d": q_distinct_urls_1d,
         "topn_urls_1h": q_topn_urls_1h,
+        "monthly_rollup": q_monthly_rollup,
         "range_total_stitched": q_range_total_stitched,
     }
     return qs
@@ -752,6 +787,7 @@ def core_oracle_sql() -> dict:
         "m4_downsample": SQL_M4_DOWNSAMPLE,
         "distinct_urls_1d": SQL_DISTINCT_URLS_1D,
         "topn_urls_1h": SQL_TOPN_URLS_1H,
+        "monthly_rollup": _sql_monthly_rollup(),
         "range_total_stitched": SQL_RANGE_TOTAL_STITCHED,
     }
 

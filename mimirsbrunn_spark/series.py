@@ -84,24 +84,36 @@ def dedup_salted_agg(
     aggs: list,
     salt_col,
     n_salts: int | None = None,
+    repartition_keys: list[str] | None = None,
+    derive: dict | None = None,
 ) -> DataFrame:
     """Dedup + salted aggregation with ONE full-data shuffle.
 
     The naive pipeline shuffles the data twice: once for dropDuplicates
     (keyed on every column) and once for the salted partial aggregate. But
-    if the salt is materialized as a column, then (keys + salt) is a SUBSET
-    of the dedup key set — so an explicit repartition on (keys + salt)
-    satisfies the clustering requirement of BOTH the dedup aggregate and
-    the salted partial aggregate: Catalyst inserts no further Exchange.
-    Only the (tiny) final re-aggregate shuffles again.
+    if the salt is materialized as a column, then (repartition keys + salt)
+    is a SUBSET of the dedup key set AND of the partial-agg group keys —
+    hash partitioning on a subset satisfies ClusteredDistribution for both,
+    so an explicit repartition on that subset serves the dedup aggregate
+    and the salted partial aggregate alike: Catalyst inserts no further
+    Exchange. Only the (tiny) final re-aggregate shuffles again.
+
+    ``repartition_keys`` (default: all of ``keys``) lets callers shuffle on
+    a smaller subset so columns derivable from the carried data need not
+    ride the exchange at all: ``derive`` maps new column names to
+    expressions computed AFTER the dedup (withColumn is a projection — it
+    preserves the clustering), so ``keys``/``aggs`` may reference them.
 
     At 100 TB this halves the dominant shuffle: one pass of the ~40 B/row
     projected data instead of two. Skew guarantee unchanged — a hot
     (keys) group is spread over ``n_salts`` partitions by the salt."""
     n_salts = _auto_salts(df, n_salts)
+    rkeys = repartition_keys if repartition_keys is not None else keys
     salted = df.withColumn("_salt", F.pmod(salt_col, F.lit(n_salts)))
-    clustered = salted.repartition(*[F.col(c) for c in keys], F.col("_salt"))
+    clustered = salted.repartition(*[F.col(c) for c in rkeys], F.col("_salt"))
     deduped = clustered.dropDuplicates()  # reuses the repartition (subset keys)
+    for name, expr in (derive or {}).items():
+        deduped = deduped.withColumn(name, expr)
     partial = deduped.groupBy(*keys, "_salt").agg(
         *[p().alias(name) for p, _, name in aggs]
     )
@@ -131,22 +143,36 @@ def series_1m(pages: DataFrame, n_salts: int | None = None) -> DataFrame:
     # variable-length string. A false merge needs two urls with equal
     # 128-bit fingerprints AND equal (warc_ts, host, lang, page_size) —
     # P ≈ n²·2⁻¹²⁹ within a bucket, ~10⁻¹⁵ even at 10¹² docs.
+    #
+    # Exchange payload is pared to the minimum: warc_ts (seconds; valid
+    # through 2106) and page_size (< 2 GiB) ride ONE packed long (_wp =
+    # sec << 31 | size — bijective, so deduping on _wp equals deduping on
+    # the pair), and bucket_ts is NOT shuffled at all — it is derived from
+    # _wp after the exchange. The repartition therefore hashes only
+    # (host, salt), a subset of both the dedup key set and the partial-agg
+    # group keys, which still satisfies ClusteredDistribution for both.
     p = with_host(pages).select(
         F.xxhash64("url").alias("_uf1"),
         F.xxhash64("url", F.lit(-7046029254386353131)).alias("_uf2"),
-        "warc_ts",
+        F.shiftleft(F.col("warc_ts").cast("long"), 31)
+        .bitwiseOR(F.col("page_size"))
+        .alias("_wp"),
         "host",
-        bucket_col("warc_ts", "1m").alias("bucket_ts"),
         "lang",
-        "page_size",
     )
+    sec = F.shiftright(F.col("_wp"), 31)
+    step = TIER_SECONDS["1m"]
+    bucket = F.timestamp_seconds(sec - ((sec % step) + step) % step)
+    psize = F.col("_wp").bitwiseAND(F.lit((1 << 31) - 1))
     return dedup_salted_agg(
         p,
         keys=["host", "bucket_ts", "lang"],
         aggs=[
             (lambda: F.count(F.lit(1)), lambda c: F.sum(c), "doc_count"),
-            (lambda: F.sum("page_size"), lambda c: F.sum(c), "bytes_sum"),
+            (lambda: F.sum(psize), lambda c: F.sum(c), "bytes_sum"),
         ],
         salt_col=F.col("_uf1"),
         n_salts=n_salts,
+        repartition_keys=["host"],
+        derive={"bucket_ts": bucket},
     )
