@@ -664,6 +664,100 @@ GROUP BY 1, 2
 """
 
 
+def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the anomaly/forecast gates: per-host hourly doc
+    counts."""
+    return (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 3600))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .withColumnRenamed("bucket_sec", "ts_sec")
+    )
+
+
+HOURLY_CTE = """
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 3600) AS ts_sec, COUNT(*) AS value
+  FROM pages GROUP BY 1, 2
+)"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags (operators/anomaly.py):
+    mean/std over the prior 24 hourly points, exact long sums, one
+    deterministic double expression — DuckDB reproduces it beyond the 6-dp
+    rounding compared here."""
+    from .operators.anomaly import zscore_anomaly
+
+    out = zscore_anomaly(
+        _hourly_counts(spark, sf_dir),
+        keys=("host",),
+        ts_col="ts_sec",
+        value_col="doc_count",
+        window_n=24,
+        threshold=2.0,
+        min_points=8,
+    )
+    return out.select(
+        "host", "ts_sec", "value", F.round("zscore", 6).alias("zscore_r"), "is_anomaly"
+    )
+
+
+SQL_ANOMALY_ZSCORE = f"""
+WITH {PAGES_CTE},
+{HOURLY_CTE},
+wn AS (
+  SELECT host, ts_sec, value,
+         COUNT(value) OVER w AS n,
+         CAST(SUM(value) OVER w AS DOUBLE) AS s,
+         CAST(SUM(value * value) OVER w AS DOUBLE) AS ss
+  FROM hs
+  WINDOW w AS (PARTITION BY host ORDER BY ts_sec
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT host, ts_sec, value,
+         CASE WHEN n >= 8 AND SQRT(GREATEST((ss - s * s / n) / n, 0)) > 0
+              THEN (value - s / n) / SQRT(GREATEST((ss - s * s / n) / n, 0))
+         END AS zs
+  FROM wn
+)
+SELECT host, ts_sec, CAST(value AS BIGINT) AS value,
+       ROUND(zs, 6) AS zscore_r,
+       COALESCE(ABS(zs) > 2.0, FALSE) AS is_anomaly
+FROM z
+"""
+
+
+def q_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast (operators/anomaly.py): the next 24 hourly
+    buckets per host repeat the value 24 hours earlier."""
+    from .operators.anomaly import forecast_seasonal_naive
+
+    return forecast_seasonal_naive(
+        _hourly_counts(spark, sf_dir),
+        keys=("host",),
+        ts_col="ts_sec",
+        value_col="doc_count",
+        step_sec=3600,
+        season_n=24,
+        horizon_n=24,
+    ).select("host", "ts_sec", F.col("predicted").cast("long").alias("predicted"))
+
+
+SQL_FORECAST_NAIVE = f"""
+WITH {PAGES_CTE},
+{HOURLY_CTE},
+mx AS (SELECT host, MAX(ts_sec) AS max_ts FROM hs GROUP BY 1)
+SELECT h.host,
+       h.ts_sec + 86400 AS ts_sec,
+       CAST(h.value AS BIGINT) AS predicted
+FROM hs h JOIN mx USING (host)
+WHERE h.ts_sec + 86400 > mx.max_ts
+  AND h.ts_sec + 86400 <= mx.max_ts + 86400
+"""
+
+
 def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-month continuous aggregate (functions/timebucket.py):
     UTC civil-calendar month floors via the days-from-civil integer
@@ -760,6 +854,8 @@ def core_queries() -> dict:
         "distinct_urls_1d": q_distinct_urls_1d,
         "topn_urls_1h": q_topn_urls_1h,
         "monthly_rollup": q_monthly_rollup,
+        "anomaly_zscore": q_anomaly_zscore,
+        "forecast_naive": q_forecast_naive,
         "range_total_stitched": q_range_total_stitched,
     }
     return qs
@@ -788,6 +884,8 @@ def core_oracle_sql() -> dict:
         "distinct_urls_1d": SQL_DISTINCT_URLS_1D,
         "topn_urls_1h": SQL_TOPN_URLS_1H,
         "monthly_rollup": _sql_monthly_rollup(),
+        "anomaly_zscore": SQL_ANOMALY_ZSCORE,
+        "forecast_naive": SQL_FORECAST_NAIVE,
         "range_total_stitched": SQL_RANGE_TOTAL_STITCHED,
     }
 

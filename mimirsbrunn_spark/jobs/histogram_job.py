@@ -1,0 +1,110 @@
+"""Published size-distribution histogram tiers + quantile serving: the
+mergeable log-histogram sketches of operators/histograms.py materialized
+as serving tables (TimescaleDB ``percentile_agg`` continuous aggregates).
+
+Layout mirrors distinct_job/topn_job: one table per tier
+(``hist_1h/1d/30d``), partitioned by the tier's coarse time key. The
+finest tier bins raw page sizes once; every coarser tier SUMS the child
+tier's integer bucket counts — an exact merge (reduction-order-free), so
+unlike the HLL/topn cascades there is no approximation gap between a
+cascaded and a direct build. ``read_quantile`` serves percentiles from the
+pruned tier read; a quantile over any [t0, t1) range is derived by summing
+the pruned counts first — the raw data is never touched after the 1h
+build.
+
+At 100 TB: ≤ max_bin+1 rows per (host, bucket) regardless of volume."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tiers
+from ..ingest import read_pages, with_host
+from ..operators.histograms import (
+    histogram_quantile,
+    rollup_histogram,
+    size_histogram,
+)
+from ..series import bucket_col
+from ..tables import SnapshotTable
+
+HIST_TIERS = ["1h", "1d", "30d"]
+
+
+def run_histogram_job(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    value_col: str = "page_size",
+    table_factory=None,
+) -> dict:
+    """Build + publish the page-size histogram tiers. Returns {tier: table}."""
+    tf = table_factory or (lambda name: SnapshotTable(f"{out_dir}/{name}"))
+    pages = with_host(read_pages(spark, pages_path))
+    out: dict[str, object] = {}
+    prev_read: DataFrame | None = None
+    for tier in HIST_TIERS:
+        if prev_read is None:
+            binned = pages.select(
+                "host", bucket_col("warc_ts", tier).alias("bucket_ts"), value_col
+            )
+            df = size_histogram(binned, value_col=value_col)
+        else:
+            df = rollup_histogram(prev_read, tier)
+        tbl = tf(f"hist_{tier}")
+        tbl.commit(
+            df.withColumn("pkey", tiers.partition_key_col(tier)),
+            mode="replace",
+            meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1]},
+            partition_by="pkey",
+        )
+        prev_read = tbl.read(spark).drop("pkey")
+        out[tier] = tbl
+    return out
+
+
+def read_histogram(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str,
+    t0: int | None = None,
+    t1: int | None = None,
+    hosts: list[str] | None = None,
+) -> DataFrame:
+    """Serve a published histogram tier with manifest pruning. Output:
+    (host, bucket_ts, bin, n)."""
+    p_lo, p_hi = tiers.partition_bounds(tier, t0, t1)
+    df = (
+        SnapshotTable(f"{out_dir}/hist_{tier}")
+        .read(spark, partition_min=p_lo, partition_max=p_hi)
+        .drop("pkey")
+    )
+    if t0 is not None:
+        df = df.filter(F.col("bucket_ts").cast("long") >= t0)
+    if t1 is not None:
+        df = df.filter(F.col("bucket_ts").cast("long") < t1)
+    if hosts:
+        df = df.filter(F.col("host").isin(hosts))
+    return df
+
+
+def read_quantile(
+    spark: SparkSession,
+    out_dir: str,
+    q: float,
+    tier: str = "1h",
+    t0: int | None = None,
+    t1: int | None = None,
+    hosts: list[str] | None = None,
+    per_bucket: bool = False,
+) -> DataFrame:
+    """Quantile-over-range from the stored counts: prune, (optionally) sum
+    the range's counts per host, then derive the quantile — pure count
+    arithmetic, no raw data. ``per_bucket=True`` keeps one quantile row per
+    (host, bucket) instead of one per host over the whole range."""
+    hist = read_histogram(spark, out_dir, tier, t0=t0, t1=t1, hosts=hosts)
+    if per_bucket:
+        return histogram_quantile(hist, q, keys=("host", "bucket_ts"))
+    merged = hist.groupBy("host", "bin").agg(F.sum("n").alias("n"))
+    return histogram_quantile(merged, q, keys=("host",))

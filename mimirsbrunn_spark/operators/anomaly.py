@@ -1,0 +1,98 @@
+"""Batch anomaly detection + seasonal forecasting over series tables —
+window math only, one shuffle on the series key for each (the same
+hyperfunction family as counters.py; streaming twin:
+streaming.stateful anomaly op).
+
+- ``zscore_anomaly``: trailing-window z-score. Each point is compared to
+  the mean/std of the PRIOR ``window_n`` points (strictly before it, so a
+  spike never suppresses its own detection). Sums/sumsq stay exact longs
+  for integer metrics (doc_count-scale values; for byte-scale metrics pass
+  ``exact=False`` to sum doubles — v² of a 2³¹ value overflows a long sum
+  under ANSI); mean/std/z are derived as one deterministic double
+  expression so a DuckDB oracle reproduces them to far beyond the 6-dp
+  rounding the gate compares.
+- ``forecast_seasonal_naive``: the classic seasonal-naive forecast —
+  the next ``horizon_n`` buckets repeat the value one season earlier.
+  Implemented spine-free: historical rows are SHIFTED forward one season
+  and filtered to the (max_ts, max_ts + horizon] window per key — no join
+  against a generated spine, one window pass for the per-key max.
+
+At 100 TB both are a single Exchange on (keys); frames are bounded
+(window_n rows / one season), so a hot series costs O(points in range),
+never O(doc count) — raw-data skew was absorbed by series.salted_agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zscore_anomaly(
+    series: DataFrame,
+    keys: tuple[str, ...] = ("host",),
+    ts_col: str = "bucket_ts",
+    value_col: str = "doc_count",
+    window_n: int = 24,
+    threshold: float = 3.0,
+    min_points: int = 8,
+    exact: bool = True,
+) -> DataFrame:
+    """Output: (*keys, ts_col, value, zscore, is_anomaly). ``zscore`` is
+    NULL (and is_anomaly false) while the trailing window holds fewer than
+    ``min_points`` points or has zero variance."""
+    w = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(-window_n, -1)
+    v = F.col(value_col).cast("long" if exact else "double")
+    n = F.count(value_col).over(w).cast("double")
+    s = F.sum(v).over(w).cast("double")
+    ss = F.sum(v * v).over(w).cast("double")
+    mean = s / n
+    # clamp: float error can push a zero variance a hair negative, and
+    # sqrt(negative) is NaN in Spark but an error in some engines; operands
+    # are non-null whenever the n >= min_points guard passes, so greatest()
+    # is cross-engine safe here
+    var = F.greatest((ss - s * s / n) / n, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(
+        (F.count(value_col).over(w) >= min_points) & (std > 0),
+        (F.col(value_col).cast("double") - mean) / std,
+    )
+    return series.select(
+        *keys,
+        ts_col,
+        F.col(value_col).alias("value"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def forecast_seasonal_naive(
+    series: DataFrame,
+    keys: tuple[str, ...] = ("host",),
+    ts_col: str = "bucket_ts",
+    value_col: str = "doc_count",
+    step_sec: int = 3600,
+    season_n: int = 24,
+    horizon_n: int = 24,
+) -> DataFrame:
+    """Forecast the next ``horizon_n`` buckets per key by repeating the
+    value one season (``season_n`` buckets) earlier. ``horizon_n`` must be
+    ≤ ``season_n`` (one season of history projects one season forward;
+    longer horizons would need iterated application). Buckets missing in
+    the source season are missing in the forecast (compose with
+    gapfill.gapfill first for a dense forecast). Output: (*keys, ts_sec
+    long, predicted)."""
+    if horizon_n > season_n:
+        raise ValueError("horizon_n must be <= season_n (seasonal-naive)")
+    sec = F.col(ts_col).cast("long")
+    wmax = Window.partitionBy(*keys)
+    shifted = series.select(
+        *keys,
+        (sec + season_n * step_sec).alias("ts_sec"),
+        F.col(value_col).alias("predicted"),
+        F.max(sec).over(wmax).alias("_max_ts"),
+    )
+    return shifted.filter(
+        (F.col("ts_sec") > F.col("_max_ts"))
+        & (F.col("ts_sec") <= F.col("_max_ts") + horizon_n * step_sec)
+    ).drop("_max_ts")
