@@ -74,17 +74,34 @@ def forecast_seasonal_naive(
     step_sec: int = 3600,
     season_n: int = 24,
     horizon_n: int = 24,
+    anchor_ts: int | None = None,
 ) -> DataFrame:
     """Forecast the next ``horizon_n`` buckets per key by repeating the
     value one season (``season_n`` buckets) earlier. ``horizon_n`` must be
     ≤ ``season_n`` (one season of history projects one season forward;
     longer horizons would need iterated application). Buckets missing in
     the source season are missing in the forecast (compose with
-    gapfill.gapfill first for a dense forecast). Output: (*keys, ts_sec
-    long, predicted)."""
+    gapfill.gapfill first for a dense forecast).
+
+    ``anchor_ts``: forecast forward from this fixed bucket for EVERY key
+    (the "what happens after the table end" serving semantic — exactly
+    partition-prunable, used by query_api.read_forecast). Default: each
+    key forecasts from its own last observed bucket (window max).
+    Output: (*keys, ts_sec long, predicted)."""
     if horizon_n > season_n:
         raise ValueError("horizon_n must be <= season_n (seasonal-naive)")
     sec = F.col(ts_col).cast("long")
+    if anchor_ts is not None:
+        anchor = F.lit(int(anchor_ts))
+        shifted = series.select(
+            *keys,
+            (sec + season_n * step_sec).alias("ts_sec"),
+            F.col(value_col).alias("predicted"),
+        )
+        return shifted.filter(
+            (F.col("ts_sec") > anchor)
+            & (F.col("ts_sec") <= anchor + horizon_n * step_sec)
+        )
     wmax = Window.partitionBy(*keys)
     shifted = series.select(
         *keys,

@@ -122,6 +122,82 @@ def read_plot(
     return lttb_downsample(hs, ["host"], n_out=n_px)
 
 
+def read_anomaly(
+    spark: SparkSession,
+    out_dir: str,
+    t0: int,
+    t1: int,
+    hosts: list[str] | None = None,
+    metric: str = "doc_count",
+    tier: str | None = None,
+    window_n: int = 24,
+    threshold: float = 3.0,
+    only_anomalies: bool = True,
+) -> DataFrame:
+    """Anomaly scan over the published tiers: pruned tier read (tier auto-
+    routed unless given) → host series → trailing-window z-score. The
+    window needs ``window_n`` points of history BEFORE t0 to score the
+    first in-range points, so the read extends the range back by
+    window_n buckets and trims afterwards. Output: (host, ts_sec, value,
+    zscore, is_anomaly)."""
+    from .operators.anomaly import zscore_anomaly
+
+    tier = tier or pick_tier(t0, t1)
+    warm = t0 - window_n * TIER_SECONDS[tier]
+    df = read_rollup(spark, out_dir, tier, t0=warm, t1=t1, hosts=hosts)
+    hs = (
+        df.groupBy("host", "bucket_ts")
+        .agg(F.sum(metric).alias("value"))
+        .select("host", F.col("bucket_ts").cast("long").alias("ts_sec"), "value")
+    )
+    out = zscore_anomaly(
+        hs, keys=("host",), ts_col="ts_sec", value_col="value",
+        window_n=window_n, threshold=threshold,
+    ).filter(F.col("ts_sec") >= t0)
+    return out.filter(F.col("is_anomaly")) if only_anomalies else out
+
+
+def read_forecast(
+    spark: SparkSession,
+    out_dir: str,
+    tier: str = "1h",
+    hosts: list[str] | None = None,
+    metric: str = "doc_count",
+    season_n: int = 24,
+    horizon_n: int = 24,
+) -> DataFrame:
+    """Seasonal-naive forecast past the published tier's end: every host is
+    forecast forward from the TABLE's last bucket (the anchor — a uniform
+    serving semantic that is exactly partition-prunable, unlike per-host
+    tails which may live in arbitrarily old partitions). The anchor is
+    found by scanning only the last coarse partition; the source season is
+    then a pruned t0/t1 read. Output: (host, ts_sec, predicted)."""
+    from .operators.anomaly import forecast_seasonal_naive
+    from .tables import SnapshotTable
+
+    step = TIER_SECONDS[tier]
+    tbl = SnapshotTable(
+        f"{out_dir}/rollup_{tier}" if tier != "1m" else f"{out_dir}/series_1m"
+    )
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    parts = sorted({v for v in snap.partitions.values() if v})
+    last = tbl.read(spark, partition_values={parts[-1]} if parts else None)
+    anchor = last.agg(F.max(F.col("bucket_ts").cast("long"))).first()[0]
+    df = read_rollup(
+        spark, out_dir, tier,
+        t0=anchor - (season_n - 1) * step, t1=anchor + 1, hosts=hosts,
+    )
+    hs = (
+        df.groupBy("host", "bucket_ts")
+        .agg(F.sum(metric).alias("value"))
+        .select("host", F.col("bucket_ts").cast("long").alias("ts_sec"), "value")
+    )
+    return forecast_seasonal_naive(
+        hs, keys=("host",), ts_col="ts_sec", value_col="value",
+        step_sec=step, season_n=season_n, horizon_n=horizon_n, anchor_ts=anchor,
+    )
+
+
 def read_gapfill(
     spark: SparkSession,
     out_dir: str,

@@ -142,3 +142,60 @@ def test_read_realtime_no_tail_is_materialized_only(spark, published, small_page
     got = read_realtime(spark, published, "1h", pages)
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_read_anomaly_and_forecast_serving(spark, published):
+    """read_anomaly == the operator over the identically warmed pruned
+    read (scores trimmed to [t0, t1)); read_forecast == the operator over
+    the full host series' last season (the tail-partition pruning must not
+    change the result)."""
+    from mimirsbrunn_spark.operators.anomaly import (
+        forecast_seasonal_naive,
+        zscore_anomaly,
+    )
+    from mimirsbrunn_spark.query_api import read_anomaly, read_forecast, read_rollup
+    from mimirsbrunn_spark.series import TIER_SECONDS
+    from mimirsbrunn_spark.tables import SnapshotTable
+
+    s = SnapshotTable(f"{published}/series_1m").read(spark)
+    mn, mx = s.agg(
+        F.min(F.col("bucket_ts").cast("long")), F.max(F.col("bucket_ts").cast("long"))
+    ).first()
+    t0, t1, tier = mn + 2 * 86400, mx + 60, "1h"
+
+    warm = t0 - 24 * TIER_SECONDS[tier]
+    hs = (
+        read_rollup(spark, published, tier, t0=warm, t1=t1)
+        .groupBy("host", "bucket_ts")
+        .agg(F.sum("doc_count").alias("value"))
+        .select("host", F.col("bucket_ts").cast("long").alias("ts_sec"), "value")
+    )
+    want = (
+        zscore_anomaly(hs, keys=("host",), ts_col="ts_sec", value_col="value",
+                       window_n=24, threshold=1.5)
+        .filter(F.col("ts_sec") >= t0)
+    )
+    got = read_anomaly(spark, published, t0, t1, tier=tier, threshold=1.5,
+                       only_anomalies=False)
+    key = ["host", "ts_sec", "value", "zscore", "is_anomaly"]
+    assert got.count() == want.count() > 0
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+    flagged = read_anomaly(spark, published, t0, t1, tier=tier, threshold=1.5)
+    assert flagged.count() == want.filter("is_anomaly").count()
+
+    # forecast: serving (pruned source season, table-end anchor) == the
+    # operator anchored at the same bucket over the UNPRUNED full series
+    full_hs = (
+        read_rollup(spark, published, tier)
+        .groupBy("host", "bucket_ts")
+        .agg(F.sum("doc_count").alias("value"))
+        .select("host", F.col("bucket_ts").cast("long").alias("ts_sec"), "value")
+    )
+    anchor = full_hs.agg(F.max("ts_sec")).first()[0]
+    want_fc = forecast_seasonal_naive(
+        full_hs, keys=("host",), ts_col="ts_sec", value_col="value",
+        step_sec=3600, season_n=24, horizon_n=24, anchor_ts=anchor,
+    )
+    got_fc = read_forecast(spark, published, tier="1h")
+    assert got_fc.count() == want_fc.count() > 0
+    assert got_fc.exceptAll(want_fc).count() == 0
