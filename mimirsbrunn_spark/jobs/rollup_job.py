@@ -420,10 +420,33 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
     ap.add_argument("--pages", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--job-id", default="rollup")
+    ap.add_argument(
+        "--aggregates",
+        default="",
+        help="comma list of auxiliary aggregate tiers to publish after the "
+        "rollup: distinct (HLL url sketches), topn (heavy-hitter lists), "
+        "hist (size histograms + quantiles)",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name=f"rollup_job[{args.job_id}]")
     summary = run_rollup_job(spark, args.pages, args.out, args.job_id)
     summary["master"] = spark.sparkContext.master
+    for agg in [a for a in args.aggregates.split(",") if a]:
+        if agg == "distinct":
+            from .distinct_job import run_distinct_job
+
+            run_distinct_job(spark, args.pages, args.out)
+        elif agg == "topn":
+            from .topn_job import run_topn_job
+
+            run_topn_job(spark, args.pages, args.out)
+        elif agg == "hist":
+            from .histogram_job import run_histogram_job
+
+            run_histogram_job(spark, args.pages, args.out)
+        else:
+            raise SystemExit(f"unknown --aggregates entry: {agg}")
+        summary.setdefault("aggregates", []).append(agg)
     print(summary)
 
 

@@ -21,8 +21,11 @@ Two modes, same output shape:
   the SAME state a direct build would — but Datasketches estimates a
   direct-built sketch with the HIP estimator and a unioned one with the
   composite estimator, so the two ESTIMATES can differ by a sub-percent
-  amount once the sketch leaves exact coupon mode. The tests pin exact
-  equality in coupon range and agreement within the estimator error beyond.
+  amount once the sketch leaves exact coupon mode; merge ORDER (which
+  varies with parallelism) can likewise shift an estimate by ±1-2 at
+  mode-promotion boundaries. The tests pin exact equality in coupon range
+  and agreement within the estimator error beyond; cross-parallelism runs
+  compare within the sketch RSE (test_spark_submit).
 
 At 100 TB: sketches are ≤ 2^lgK bytes per series-bucket regardless of
 cardinality; the cascade shuffles only (keys, bucket, sketch) rows. The exact
