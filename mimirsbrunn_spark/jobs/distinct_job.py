@@ -34,10 +34,28 @@ def run_distinct_job(
     out_dir: str,
     lgk: int = 12,
     table_factory=None,
+    days: list[str] | None = None,
 ) -> dict:
-    """Build + publish the distinct-url sketch tiers. Returns {tier: table}."""
-    tf = table_factory or (lambda name: SnapshotTable(f"{out_dir}/{name}"))
+    """Build + publish the distinct-url sketch tiers. Returns {tier: table}.
+
+    ``days``: incremental mode — refresh only the partitions dirtied by
+    those days (jobs/aux_refresh.py) instead of rebuilding every tier from
+    the full raw table; requires an existing SnapshotTable publish."""
     pages = with_host(read_pages(spark, pages_path))
+    if days and SnapshotTable(f"{out_dir}/distinct_{DISTINCT_TIERS[0]}").exists():
+        from .aux_refresh import refresh_aux_tiers
+
+        dp = pages.filter(
+            F.date_format("warc_ts", "yyyy-MM-dd").isin(days)
+        )
+        refresh_aux_tiers(
+            spark, out_dir, "distinct", days, dp,
+            lambda p, t: sketch_rollup(p, t, lgk=lgk),
+            lambda c, t: sketch_cascade(c, t),
+            tier_list=tuple(DISTINCT_TIERS),
+        )
+        return {t: SnapshotTable(f"{out_dir}/distinct_{t}") for t in DISTINCT_TIERS}
+    tf = table_factory or (lambda name: SnapshotTable(f"{out_dir}/{name}"))
     out: dict[str, object] = {}
     prev_read: DataFrame | None = None
     for tier in DISTINCT_TIERS:

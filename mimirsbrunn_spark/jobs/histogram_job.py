@@ -38,20 +38,37 @@ def run_histogram_job(
     out_dir: str,
     value_col: str = "page_size",
     table_factory=None,
+    days: list[str] | None = None,
 ) -> dict:
-    """Build + publish the page-size histogram tiers. Returns {tier: table}."""
-    tf = table_factory or (lambda name: SnapshotTable(f"{out_dir}/{name}"))
+    """Build + publish the page-size histogram tiers. Returns {tier: table}.
+
+    ``days``: incremental mode — refresh only the partitions dirtied by
+    those days (jobs/aux_refresh.py); requires an existing publish.
+    Histogram merges are exact integer sums, so the incremental result is
+    bit-identical to a full rebuild."""
     pages = with_host(read_pages(spark, pages_path))
+
+    def _finest(p, tier):
+        return size_histogram(
+            p.select("host", bucket_col("warc_ts", tier).alias("bucket_ts"), value_col),
+            value_col=value_col,
+        )
+
+    if days and SnapshotTable(f"{out_dir}/hist_{HIST_TIERS[0]}").exists():
+        from .aux_refresh import refresh_aux_tiers
+
+        dp = pages.filter(F.date_format("warc_ts", "yyyy-MM-dd").isin(days))
+        refresh_aux_tiers(
+            spark, out_dir, "hist", days, dp, _finest,
+            lambda c, t: rollup_histogram(c, t),
+            tier_list=tuple(HIST_TIERS),
+        )
+        return {t: SnapshotTable(f"{out_dir}/hist_{t}") for t in HIST_TIERS}
+    tf = table_factory or (lambda name: SnapshotTable(f"{out_dir}/{name}"))
     out: dict[str, object] = {}
     prev_read: DataFrame | None = None
     for tier in HIST_TIERS:
-        if prev_read is None:
-            binned = pages.select(
-                "host", bucket_col("warc_ts", tier).alias("bucket_ts"), value_col
-            )
-            df = size_histogram(binned, value_col=value_col)
-        else:
-            df = rollup_histogram(prev_read, tier)
+        df = _finest(pages, tier) if prev_read is None else rollup_histogram(prev_read, tier)
         tbl = tf(f"hist_{tier}")
         tbl.commit(
             df.withColumn("pkey", tiers.partition_key_col(tier)),

@@ -35,10 +35,25 @@ def run_topn_job(
     by: tuple[str, ...] = (),
     item_col: str = "url",
     table_factory=None,
+    days: list[str] | None = None,
 ) -> dict:
-    """Build + publish the top-N url candidate tiers. Returns {tier: table}."""
-    tf = table_factory or (lambda name: SnapshotTable(f"{out_dir}/{name}"))
+    """Build + publish the top-N url candidate tiers. Returns {tier: table}.
+
+    ``days``: incremental mode — refresh only the partitions dirtied by
+    those days (jobs/aux_refresh.py); requires an existing publish."""
     pages = with_host(read_pages(spark, pages_path))
+    if days and SnapshotTable(f"{out_dir}/topn_{TOPN_TIERS[0]}").exists():
+        from .aux_refresh import refresh_aux_tiers
+
+        dp = pages.filter(F.date_format("warc_ts", "yyyy-MM-dd").isin(days))
+        refresh_aux_tiers(
+            spark, out_dir, "topn", days, dp,
+            lambda p, t: topn_rollup(p, t, n, by=by, item_col=item_col, slack=slack),
+            lambda c, t: topn_cascade(c, t, n, by=by, slack=slack),
+            tier_list=tuple(TOPN_TIERS),
+        )
+        return {t: SnapshotTable(f"{out_dir}/topn_{t}") for t in TOPN_TIERS}
+    tf = table_factory or (lambda name: SnapshotTable(f"{out_dir}/{name}"))
     out: dict[str, object] = {}
     prev_read: DataFrame | None = None
     for tier in TOPN_TIERS:
