@@ -46,6 +46,11 @@ class EngineConfig:
     minhash_bands: int = 16
     shingle_n: int = 3
     lsh_planes: int = 12
+    # serving-table write clustering: number of range partitions (→ files)
+    # the host-clustered commit splits each write into. None = let AQE pick
+    # (advisory-partition-size right-sizing — the 100 TB default); tests pin
+    # a small explicit count so zone-map pruning is observable on tiny data.
+    cluster_files: int | None = None
     # io
     shuffle_partitions: int | None = None
     max_bucket: int = 64

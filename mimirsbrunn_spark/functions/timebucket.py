@@ -56,7 +56,31 @@ def days_from_civil_month_start(y: Column, m: Column) -> Column:
 
 
 def month_bucket_sec(sec: Column) -> Column:
-    """Epoch seconds of the UTC month start containing ``sec``."""
+    """Epoch seconds of the UTC month start containing ``sec``.
+
+    Fast path: DATE functions, which are timezone-FREE in Spark (a DATE is
+    a civil day, unlike date_trunc on timestamps which round-trips through
+    the session timezone) — epoch → unix day → trunc to month → unix day →
+    epoch. Four codegen-friendly built-ins instead of the expanded
+    civil-calendar expression tree: composing ``civil_ym`` +
+    ``days_from_civil_month_start`` as one Column duplicates every shared
+    subterm (Column reuse copies subtrees), blowing the expression past the
+    codegen limit into interpreted evaluation — measured ~12 µs/row vs
+    ~0.2 µs/row for this form, identical results (randomized 1970–2100
+    test vs Python datetime; the DuckDB gate oracle still runs the integer
+    algorithm below, so engine parity is value-checked end to end)."""
+    return (
+        F.unix_date(F.trunc(F.date_from_unix_date(_fd(sec, 86400).cast("int")), "month"))
+        .cast("long")
+        * 86400
+    )
+
+
+def month_bucket_sec_civil(sec: Column) -> Column:
+    """The documented civil-calendar integer algorithm as a single Column —
+    the executable reference for ``month_bucket_sec`` and the exact twin of
+    ``month_bucket_sql``. Slow on the hot path (see month_bucket_sec);
+    kept for the equivalence test."""
     y, m = civil_ym(sec)
     return days_from_civil_month_start(y, m) * 86400
 

@@ -56,6 +56,16 @@ class SimulatedFailure(RuntimeError):
     """Raised by the fail_after test hook to emulate a mid-job crash."""
 
 
+# Zone maps + write clustering for every published serving table: files are
+# range-clustered on host inside each time partition and the manifest records
+# per-file (host, bucket_ts) min/max from the parquet footers, so host-scoped
+# and sub-partition time reads skip files the partition key alone can't prune
+# (tables.commit stats_cols / query_api stats_filters — the Iceberg
+# sort-order + data-file-bounds analog).
+SERVING_STATS = ("host", "bucket_ts")
+SERVING_CLUSTER = ("host",)
+
+
 def enumerate_days(spark, input_tbl, pages) -> list[str]:
     """The job's input partitions (ISO days of warc_ts), cheapest first:
     a day-partitioned SnapshotTable input already LISTS its partition values
@@ -137,6 +147,9 @@ def _refresh_derived_incremental(
             meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1],
                   "refreshed": sorted(pkeys), "series_snapshot": sid_now},
             partition_by="pkey",
+            stats_cols=SERVING_STATS,
+            cluster_by=SERVING_CLUSTER,
+            cluster_files=cfg.cluster_files,
         )
         stats[f"rollup_{tier}_partitions"] = len(pkeys)
 
@@ -170,6 +183,7 @@ def _refresh_derived_incremental(
             meta={"tier": tier, "host_buckets": cfg.host_buckets, "month_split": True,
                   "series_snapshot": sid_now},
             partition_by="pkey",
+            stats_cols=("host", "chunk_start", "last_ts"),
         )
         stats[f"chunks_{tier}_months"] = len(months)
 
@@ -181,6 +195,9 @@ def _refresh_derived_incremental(
             meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1],
                   "series_snapshot": sid_now},
             partition_by="pkey",
+            stats_cols=SERVING_STATS,
+            cluster_by=SERVING_CLUSTER,
+            cluster_files=cfg.cluster_files,
         )
 
         prev_tbl = tbl
@@ -267,7 +284,13 @@ def run_rollup_job(
             "day", F.to_date("bucket_ts")
         )
         sid = series_tbl.commit(
-            s, mode="append", meta={"partition": f"day={day}"}, partition_by="day"
+            s,
+            mode="append",
+            meta={"partition": f"day={day}"},
+            partition_by="day",
+            stats_cols=SERVING_STATS,
+            cluster_by=SERVING_CLUSTER,
+            cluster_files=cfg.cluster_files,
         )
         processed += 1
         if fail_before_lineage is not None and processed >= fail_before_lineage:
@@ -350,6 +373,9 @@ def run_rollup_job(
                 meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1],
                       "series_snapshot": sid_now},
                 partition_by="pkey",
+                stats_cols=SERVING_STATS,
+                cluster_by=SERVING_CLUSTER,
+            cluster_files=cfg.cluster_files,
             )
             hs = tiers.host_series(tier_dfs[tier])
             tier_tables[f"gapfill_{tier}"].commit(
@@ -358,6 +384,9 @@ def run_rollup_job(
                 meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1],
                       "series_snapshot": sid_now},
                 partition_by="pkey",
+                stats_cols=SERVING_STATS,
+                cluster_by=SERVING_CLUSTER,
+            cluster_files=cfg.cluster_files,
             )
             ch = codecs.encode_chunks(
                 hs, tier, max_points_per_chunk=cfg.chunk_max_points, split_by_month=True
@@ -368,6 +397,7 @@ def run_rollup_job(
                 meta={"tier": tier, "host_buckets": cfg.host_buckets, "month_split": True,
                       "series_snapshot": sid_now},
                 partition_by="pkey",
+                stats_cols=("host", "chunk_start", "last_ts"),
             )
         metrics.record(spark, job_id, stage="derived", kv={"seconds": time.time() - t0})
 

@@ -18,6 +18,21 @@ from .series import TIER_ORDER, TIER_SECONDS
 from .tables import SnapshotTable
 
 
+def _serving_stats_filters(
+    t0: int | None, t1: int | None, hosts: list[str] | None
+) -> dict | None:
+    """Zone-map predicates for the serving tables (rollup_job records
+    per-file (host, bucket_ts) min/max at commit time): requested hosts as a
+    point-set, [t0, t1) as an inclusive bucket_ts range. Files without stats
+    always pass, so this is sound against legacy/unclustered commits."""
+    sf: dict = {}
+    if hosts:
+        sf["host"] = set(hosts)
+    if t0 is not None or t1 is not None:
+        sf["bucket_ts"] = (t0, t1 - 1 if t1 is not None else None)
+    return sf or None
+
+
 def pick_tier(t0: int, t1: int, max_points: int = 10_000) -> str:
     """Coarsest-fitting tier selection: the finest tier whose point count
     over [t0, t1) stays under ``max_points`` (continuous-aggregate read
@@ -52,7 +67,12 @@ def read_rollup(
 
     tbl = SnapshotTable(f"{out_dir}/rollup_{tier}" if tier != "1m" else f"{out_dir}/series_1m")
     p_lo, p_hi = partition_bounds(tier, t0, t1)
-    df = tbl.read(spark, partition_min=p_lo, partition_max=p_hi)
+    df = tbl.read(
+        spark,
+        partition_min=p_lo,
+        partition_max=p_hi,
+        stats_filters=_serving_stats_filters(t0, t1, hosts),
+    )
     # partition-key columns ride in the data files; not part of the API
     df = df.drop("pkey", "day")
     if t0 is not None:
@@ -218,7 +238,12 @@ def read_gapfill(
     assert fill in ("locf", "linear")
     tbl = SnapshotTable(f"{out_dir}/gapfill_{tier}")
     p_lo, p_hi = partition_bounds(tier, t0, t1)
-    df = tbl.read(spark, partition_min=p_lo, partition_max=p_hi).drop("pkey")
+    df = tbl.read(
+        spark,
+        partition_min=p_lo,
+        partition_max=p_hi,
+        stats_filters=_serving_stats_filters(t0, t1, hosts),
+    ).drop("pkey")
     if t0 is not None:
         df = df.filter(F.col("bucket_ts").cast("long") >= t0)
     if t1 is not None:
@@ -254,7 +279,12 @@ def read_range_total(
         name = "series_1m" if tier == "1m" else f"rollup_{tier}"
         tbl = SnapshotTable(f"{out_dir}/{name}")
         p_lo, p_hi = partition_bounds(tier, a, b)
-        df = tbl.read(spark, partition_min=p_lo, partition_max=p_hi).drop("pkey", "day")
+        df = tbl.read(
+            spark,
+            partition_min=p_lo,
+            partition_max=p_hi,
+            stats_filters=_serving_stats_filters(a, b, hosts),
+        ).drop("pkey", "day")
         sec = F.col("bucket_ts").cast("long")
         df = df.filter((sec >= a) & (sec < b))
         if hosts:
@@ -442,7 +472,18 @@ def read_chunks(
                     return False
             return True
 
-    df = tbl.read(spark, partition_filter=pred).drop("pkey")
+    # zone maps (per-file host / chunk_start / last_ts bounds recorded at
+    # commit) refine the bucket-key pruning: a probed host bucket holds many
+    # hosts, but a file whose host range misses every requested host — or
+    # whose chunk extents miss [t0, t1) — never reaches the scan.
+    sf: dict = {}
+    if hosts:
+        sf["host"] = set(hosts)
+    if t1 is not None:
+        sf["chunk_start"] = (None, t1 - 1)
+    if t0 is not None:
+        sf["last_ts"] = (t0, None)
+    df = tbl.read(spark, partition_filter=pred, stats_filters=sf or None).drop("pkey")
     if hosts:
         df = df.filter(F.col("host").isin(hosts))
     _ = TIER_SECONDS[tier]  # validates the tier name

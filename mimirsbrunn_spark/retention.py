@@ -102,8 +102,33 @@ def vacuum(table: SnapshotTable, keep_snapshots: int = 2) -> list[str]:
 
 
 def compact(spark: SparkSession, table: SnapshotTable, target_files: int = 8) -> int:
-    """Rewrite the table into ``target_files`` files (small-file compaction
+    """Rewrite the table into fewer, larger files (small-file compaction
     after many append commits — Iceberg rewrite_data_files analog).
-    Returns the new snapshot id."""
+    Returns the new snapshot id.
+
+    The rewrite PRESERVES the table's declared layout (the manifest's
+    partition spec: partition_by / stats_cols / cluster_by) — compaction
+    that flattened a partitioned serving table into unpartitioned files
+    would silently disable manifest pruning and zone maps for every
+    subsequent read; at 100 TB that turns each narrow serving query back
+    into a full scan the first time maintenance runs."""
+    snap = table.snapshot(table.current_snapshot_id())
+    lay = snap.layout
+    if lay.get("partition_by") or lay.get("cluster_by"):
+        df = table.read(spark)
+        if lay.get("partition_by") and not lay.get("cluster_by"):
+            # one file per partition value (hash shuffle on the partition
+            # column); the cluster_by path coalesces via repartitionByRange
+            # inside commit instead
+            df = df.repartition(F.col(lay["partition_by"]))
+        return table.commit(
+            df,
+            mode="replace",
+            meta={"compaction": True},
+            partition_by=lay.get("partition_by"),
+            stats_cols=tuple(lay.get("stats_cols", ())),
+            cluster_by=tuple(lay.get("cluster_by", ())),
+            cluster_files=lay.get("cluster_files"),
+        )
     df = table.read(spark).repartition(target_files)
     return table.commit(df, mode="replace", meta={"compaction": True})

@@ -55,6 +55,11 @@ def get_spark(
         # naive parquet timestamps are UTC instants (not NTZ): keeps epoch
         # arithmetic (cast to long) legal and aligned with the pandas oracle
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # INT96 timestamps (the legacy default) carry NO parquet column
+        # statistics — TIMESTAMP_MICROS makes timestamp zone maps real
+        # (tables.commit stats_cols) and is the type every modern reader
+        # (Iceberg, DuckDB, pyarrow) expects
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")

@@ -34,6 +34,9 @@ class TableIO(Protocol):
         mode: str = "append",
         meta: dict | None = None,
         partition_by: str | None = None,
+        stats_cols: tuple[str, ...] = (),
+        cluster_by: tuple[str, ...] = (),
+        cluster_files: int | None = None,
     ) -> int: ...
 
     def read(self, spark: SparkSession, **kw) -> DataFrame: ...

@@ -54,6 +54,70 @@ class Snapshot:
     partitions: dict  # file path -> partition value ('' when unpartitioned)
     file_rows: dict  # file path -> row count (from parquet footers at write)
     schema_json: str | None  # Spark StructType json of the table schema
+    file_stats: dict  # file path -> {col: [min, max]} zone maps (may be {})
+    layout: dict  # declared write layout (partition_by/stats_cols/cluster_by)
+    # — the Iceberg partition-spec/sort-order analog; maintenance jobs
+    # (compaction) MUST reproduce it when rewriting files
+
+
+def _stat_value(v, side: str = "min"):
+    """JSON-encodable zone-map bound from a parquet footer statistic.
+    Timestamps collapse to epoch seconds — floored for a min bound and
+    ceiled for a max bound, so sub-second precision loss only ever WIDENS
+    the interval (pruning stays sound). Dates become ISO strings; anything
+    unmappable returns None (no stat kept — pruning then ignores the column
+    for that file, which is always sound)."""
+    import datetime as dt
+    import math
+
+    if isinstance(v, bool):
+        return None  # min/max pruning on bools is useless
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        ts = v.timestamp()
+        return math.floor(ts) if side == "min" else math.ceil(ts)
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (str, int, float)):
+        return v
+    return None
+
+
+def _footer_stats(pf, cols: tuple[str, ...]) -> dict:
+    """Per-file zone maps for ``cols`` from an open pyarrow ParquetFile:
+    min-of-row-group-mins / max-of-row-group-maxes. Parquet writers may
+    truncate string bounds, but truncation keeps min ≤ all values and
+    max ≥ all values, so [min, max] intersection pruning stays sound.
+    Columns with any row group missing min/max are omitted entirely."""
+    md = pf.metadata
+    idx = {md.row_group(0).column(j).path_in_schema: j for j in range(md.num_columns)} if md.num_row_groups else {}
+    out = {}
+    for col in cols:
+        j = idx.get(col)
+        if j is None:
+            continue
+        lo = hi = None
+        ok = True
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _stat_value(st.min, "min"), _stat_value(st.max, "max")
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            out[col] = [lo, hi]
+    return out
 
 
 class SnapshotTable:
@@ -89,6 +153,8 @@ class SnapshotTable:
             partitions=m.get("partitions", {}),
             file_rows=m.get("file_rows", {}),
             schema_json=m.get("schema_json"),
+            file_stats=m.get("file_stats", {}),
+            layout=m.get("layout", {}),
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -108,6 +174,9 @@ class SnapshotTable:
         mode: str = "append",
         meta: dict | None = None,
         partition_by: str | None = None,
+        stats_cols: tuple[str, ...] = (),
+        cluster_by: tuple[str, ...] = (),
+        cluster_files: int | None = None,
     ) -> int:
         """Write ``df`` as a new immutable file set and atomically publish a
         new snapshot. mode='append' keeps prior files; 'replace' starts the
@@ -118,10 +187,34 @@ class SnapshotTable:
         a duplicated ``_p=`` hive dir), and the manifest records each file's
         partition value — enabling manifest-level pruning (``read_at``
         partition filters) and metadata-only deletes (``drop_partitions``),
-        the Iceberg partition-pruning/DELETE-WHERE analog."""
+        the Iceberg partition-pruning/DELETE-WHERE analog.
+
+        ``stats_cols``: columns whose per-file min/max ZONE MAPS go into the
+        manifest (read from the same parquet-footer pass that collects row
+        counts — no extra scan; the Iceberg lower_bounds/upper_bounds
+        analog). ``read_at(stats_filters=...)`` then skips files whose
+        bounds can't intersect a predicate — secondary pruning INSIDE a
+        partition, e.g. host-scoped reads of a time-partitioned tier table.
+
+        ``cluster_by``: range-repartition the rows on these columns before
+        the write so each file covers a narrow value range and the zone maps
+        actually cut (Iceberg sort-order / write-clustering analog). One
+        extra shuffle of the committed rows — worth it on serving tables
+        read selectively, wasted on tables always read in full.
+        ``cluster_files`` pins the range-partition count (file count per
+        write); None lets AQE right-size by advisory partition size."""
         assert mode in ("append", "replace")
         from pyspark.sql import functions as F
 
+        if cluster_by:
+            keys = ([F.col(partition_by)] if partition_by else []) + [
+                F.col(c) for c in cluster_by
+            ]
+            df = (
+                df.repartitionByRange(cluster_files, *keys)
+                if cluster_files
+                else df.repartitionByRange(*keys)
+            )
         set_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
         if partition_by:
             df.withColumn("_p", F.col(partition_by).cast("string")).write.mode(
@@ -136,7 +229,7 @@ class SnapshotTable:
         # arithmetic over these stats.
         import pyarrow.parquet as pq
 
-        new_files, new_parts, new_frows = [], {}, {}
+        new_files, new_parts, new_frows, new_fstats = [], {}, {}, {}
         for root, _, fs in sorted(os.walk(set_dir)):
             for f in sorted(fs):
                 if f.endswith(".parquet"):
@@ -144,7 +237,12 @@ class SnapshotTable:
                     new_files.append(full)
                     seg = [p for p in root.split(os.sep) if p.startswith("_p=")]
                     new_parts[full] = seg[0][3:] if seg else ""
-                    new_frows[full] = pq.ParquetFile(full).metadata.num_rows
+                    pf = pq.ParquetFile(full)
+                    new_frows[full] = pf.metadata.num_rows
+                    if stats_cols:
+                        st = _footer_stats(pf, tuple(stats_cols))
+                        if st:
+                            new_fstats[full] = st
         new_rows = sum(new_frows.values())
         schema_json = df.schema.json()
 
@@ -161,9 +259,24 @@ class SnapshotTable:
                 rows = prev.row_count + new_rows
                 parts = {**prev.partitions, **new_parts}
                 frows = {**prev.file_rows, **new_frows}
+                fstats = {**prev.file_stats, **new_fstats}
             else:
-                files, rows, parts, frows = new_files, new_rows, new_parts, new_frows
-            return self._publish(parent, files, rows, parts, frows, schema_json, meta or {})
+                files, rows, parts, frows, fstats = (
+                    new_files, new_rows, new_parts, new_frows, new_fstats,
+                )
+            layout = {
+                k: v
+                for k, v in {
+                    "partition_by": partition_by,
+                    "stats_cols": list(stats_cols),
+                    "cluster_by": list(cluster_by),
+                    "cluster_files": cluster_files,
+                }.items()
+                if v
+            }
+            return self._publish(
+                parent, files, rows, parts, frows, fstats, layout, schema_json, meta or {}
+            )
 
     @contextmanager
     def _lock(self):
@@ -175,7 +288,10 @@ class SnapshotTable:
             finally:
                 fcntl.flock(fh, fcntl.LOCK_UN)
 
-    def _publish(self, parent, files, rows, partitions, file_rows, schema_json, meta) -> int:
+    def _publish(
+        self, parent, files, rows, partitions, file_rows, file_stats, layout,
+        schema_json, meta,
+    ) -> int:
         sid = (parent or 0) + 1
         manifest = {
             "snapshot_id": sid,
@@ -184,6 +300,8 @@ class SnapshotTable:
             "row_count": rows,
             "partitions": partitions,
             "file_rows": file_rows,
+            "file_stats": file_stats,
+            "layout": layout,
             "schema_json": schema_json,
             "meta": meta,
             "committed_at": time.time(),
@@ -244,8 +362,12 @@ class SnapshotTable:
             keep = [f for f in cur.files if not pred(cur.partitions.get(f, ""))]
             parts = {f: cur.partitions.get(f, "") for f in keep}
             frows = {f: self._file_rows(cur, f) for f in keep}
+            fstats = {f: cur.file_stats[f] for f in keep if f in cur.file_stats}
             rows = sum(frows.values())
-            return self._publish(cur.snapshot_id, keep, rows, parts, frows, cur.schema_json, meta)
+            return self._publish(
+                cur.snapshot_id, keep, rows, parts, frows, fstats, cur.layout,
+                cur.schema_json, meta,
+            )
 
     # -- read -----------------------------------------------------------------
 
@@ -256,13 +378,41 @@ class SnapshotTable:
         partition_max: str | None = None,
         partition_values: set[str] | None = None,
         partition_filter=None,
+        stats_filters: dict | None = None,
     ) -> DataFrame:
         sid = self.current_snapshot_id()
         if sid is None:
             raise FileNotFoundError(f"table {self.path} has no snapshot")
         return self.read_at(
-            spark, sid, partition_min, partition_max, partition_values, partition_filter
+            spark, sid, partition_min, partition_max, partition_values,
+            partition_filter, stats_filters,
         )
+
+    @staticmethod
+    def _stats_pass(stats: dict, stats_filters: dict) -> bool:
+        """True iff a file's zone maps can intersect every predicate.
+        Predicate per column: a (lo, hi) tuple (either end None = open) or
+        an iterable of point values. A file missing stats for a column
+        always passes; so does any type-mismatched comparison — pruning
+        must never hide rows the manifest can't bound."""
+        for col, pred in stats_filters.items():
+            b = stats.get(col)
+            if b is None:
+                continue
+            mn, mx = b
+            try:
+                if isinstance(pred, tuple):
+                    lo, hi = pred
+                    if lo is not None and mx < lo:
+                        return False
+                    if hi is not None and mn > hi:
+                        return False
+                else:
+                    if not any(mn <= v <= mx for v in pred):
+                        return False
+            except TypeError:
+                continue
+        return True
 
     def read_at(
         self,
@@ -272,6 +422,7 @@ class SnapshotTable:
         partition_max: str | None = None,
         partition_values: set[str] | None = None,
         partition_filter=None,
+        stats_filters: dict | None = None,
     ) -> DataFrame:
         """Read a snapshot; optional manifest-level partition pruning — only
         files whose partition value falls in [partition_min, partition_max]
@@ -281,7 +432,15 @@ class SnapshotTable:
         keys) are handed to the scan (no file listing, no footer reads for
         pruned files). Files with an empty partition value (unpartitioned
         legacy commits) always pass — pruning is never allowed to hide data
-        the manifest can't bound."""
+        the manifest can't bound.
+
+        ``stats_filters`` prunes a second way, on the per-file ZONE MAPS
+        recorded by ``commit(stats_cols=...)``: {col: (lo, hi)} range or
+        {col: {v, ...}} point-set predicates against each file's [min, max]
+        (the Iceberg data-file bounds-filtering analog). Orthogonal to the
+        partition key — this is what cuts host-scoped reads inside a
+        time-partitioned tier table when files are host-clustered. Files
+        without recorded stats always pass."""
         snap = self.snapshot(snapshot_id)
         files = snap.files
         if (
@@ -303,6 +462,12 @@ class SnapshotTable:
                 )
 
             files = [f for f in files if ok(f)]
+        if stats_filters:
+            files = [
+                f
+                for f in files
+                if self._stats_pass(snap.file_stats.get(f, {}), stats_filters)
+            ]
         if not files:
             # Pruned-to-nothing OR a genuinely empty snapshot (every partition
             # dropped): synthesize an empty DF from the manifest schema instead

@@ -140,7 +140,7 @@ class MemoryTable:
         self._committed = False
         self._snapshot_id = None
 
-    def commit(self, df, mode="append", meta=None, partition_by=None):
+    def commit(self, df, mode="append", meta=None, partition_by=None, **_):
         pdf = df.toPandas()
         self._schema = df.schema
         new = []

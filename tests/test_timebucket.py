@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from mimirsbrunn_spark.functions.timebucket import (
     month_bucket_sec,
+    month_bucket_sec_civil,
     monthly_rollup,
 )
 
@@ -49,6 +50,19 @@ def test_month_bucket_boundaries(spark):
     }
     for s in cases:
         assert got[s] == _truth(s), s
+
+
+def test_month_bucket_fast_path_equals_civil_algorithm(spark):
+    """The DATE-function fast path and the documented civil-calendar
+    integer algorithm (the DuckDB oracle's form) are the same function."""
+    rng = random.Random(7)
+    secs = sorted({rng.randrange(0, 4_102_444_800) for _ in range(400)})
+    df = spark.createDataFrame([(s,) for s in secs], "sec long")
+    bad = df.select(
+        month_bucket_sec(F.col("sec")).alias("fast"),
+        month_bucket_sec_civil(F.col("sec")).alias("civil"),
+    ).filter(F.col("fast") != F.col("civil"))
+    assert bad.count() == 0
 
 
 def test_monthly_rollup_counts(spark):
