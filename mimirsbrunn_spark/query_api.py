@@ -339,19 +339,25 @@ def read_realtime(
     fresh = pages.filter(F.col("warc_ts").cast("long") >= wm)
     tail_1m = series_mod.series_1m(fresh)
 
+    host_sf = _serving_stats_filters(None, None, hosts)
     if tier == "1m":
-        mat = s_tbl.read(spark).drop("pkey", "day")
+        mat = s_tbl.read(spark, stats_filters=host_sf).drop("pkey", "day")
         out = mat.unionByName(tail_1m)
     else:
         t_tbl = SnapshotTable(f"{out_dir}/rollup_{tier}")
         p_lo, p_hi = partition_bounds(tier, None, wm_floor)
-        mat = t_tbl.read(spark, partition_min=p_lo, partition_max=p_hi).drop("pkey")
+        mat = t_tbl.read(
+            spark,
+            partition_min=p_lo,
+            partition_max=p_hi,
+            stats_filters=_serving_stats_filters(None, wm_floor, hosts),
+        ).drop("pkey")
         mat = mat.filter(F.col("bucket_ts").cast("long") < wm_floor)
         # straddling bucket: materialized 1m rows in [wm_floor, wm) + tail
         e_lo, e_hi = partition_bounds("1m", wm_floor, wm)
-        edge_1m = s_tbl.read(spark, partition_min=e_lo, partition_max=e_hi).drop(
-            "pkey", "day"
-        )
+        edge_1m = s_tbl.read(
+            spark, partition_min=e_lo, partition_max=e_hi, stats_filters=host_sf
+        ).drop("pkey", "day")
         edge_1m = edge_1m.filter(F.col("bucket_ts").cast("long") >= wm_floor)
         out = mat.unionByName(tier_rollup(edge_1m.unionByName(tail_1m), tier))
     if hosts:
