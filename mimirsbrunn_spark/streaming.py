@@ -186,20 +186,23 @@ def rate_anomalies_batch_oracle(pages_pdf, alpha: float = 0.3, k: float = 3.0, w
     )
 
 
-def idempotent_batch_commit(table: SnapshotTable, batch_df: DataFrame, batch_id: int) -> bool:
+def idempotent_batch_commit(
+    table: SnapshotTable, batch_df: DataFrame, batch_id: int, **commit_kw
+) -> bool:
     """foreachBatch-safe append: after a failure/restart Structured Streaming
     REPLAYS the last un-checkpointed batch with the same batch_id, so a naive
     append would double-commit those rows. Skip (return False) when a snapshot
     for this batch_id already exists in the current chain. (Walking the chain
     is O(snapshots) driver-side JSON reads; Iceberg's snapshot-summary lookup
-    plays this role at deploy time.)"""
+    plays this role at deploy time.) Extra kwargs (partition_by, stats_cols,
+    ...) pass through to the commit."""
     if batch_df.isEmpty():
         return False
     if table.exists() and any(
         s.meta.get("stream_batch") == batch_id for s in table.snapshots()
     ):
         return False
-    table.commit(batch_df, mode="append", meta={"stream_batch": batch_id})
+    table.commit(batch_df, mode="append", meta={"stream_batch": batch_id}, **commit_kw)
     return True
 
 
@@ -212,11 +215,26 @@ def run_stream_to_table(
 ) -> None:
     """Drain the stream into a SnapshotTable via foreachBatch append-commits
     (one atomic snapshot per micro-batch — resumable from the streaming
-    checkpoint AND inspectable via table time travel)."""
-    series = stream_series_1m(spark, pages_dir)
+    checkpoint AND inspectable via table time travel).
+
+    Each batch commits with the SAME serving layout as the batch job's
+    series table: day-partitioned with (host, bucket_ts) zone maps. A
+    micro-batch spans a narrow time window, so the day partition and the
+    per-file bucket_ts bounds are tight — time-scoped reads of the streamed
+    table prune at the manifest level, and retention's drop_partitions is
+    metadata-only (an unpartitioned streamed table would satisfy neither)."""
+    series = stream_series_1m(spark, pages_dir).withColumn(
+        "day", F.to_date("bucket_ts")
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        idempotent_batch_commit(table, batch_df, batch_id)
+        idempotent_batch_commit(
+            table,
+            batch_df,
+            batch_id,
+            partition_by="day",
+            stats_cols=("host", "bucket_ts"),
+        )
 
     writer = (
         series.writeStream.outputMode("append")

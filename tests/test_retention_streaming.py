@@ -371,6 +371,58 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
     assert len(rows) == 1 and rows[0].doc_count == 2
 
 
+def test_streamed_table_is_day_partitioned_with_zone_maps(spark, tmp_path):
+    """run_stream_to_table commits each micro-batch with the batch job's
+    serving layout: day partition values in the manifest (so retention's
+    drop_partitions is metadata-only on streamed data) and (host, bucket_ts)
+    zone maps per file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_spark.streaming import run_stream_to_table
+
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
+    t0 = 1_700_000_000
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "url": ["https://h.com/1", "https://h.com/2", "https://zzz.invalid/s"],
+                "warc_ts": [
+                    pd.Timestamp(t0, unit="s"),
+                    pd.Timestamp(t0 + 90_000, unit="s"),  # next day
+                    pd.Timestamp(t0 + 200_000, unit="s"),  # watermark sentinel
+                ],
+                "html": [b"x"] * 3,
+                "text": ["t"] * 3,
+                "lang": ["en"] * 3,
+            },
+            schema=schema,
+        ),
+        str(stream_dir / "b1.parquet"),
+    )
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    run_stream_to_table(spark, str(stream_dir), tbl, checkpoint_dir=str(tmp_path / "ck"))
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    vals = {snap.partitions.get(f, "") for f in snap.files}
+    assert "" not in vals and len(vals) >= 2, vals  # day-partitioned commit
+    assert snap.layout.get("partition_by") == "day"
+    assert all("bucket_ts" in snap.file_stats.get(f, {}) for f in snap.files)
+    # metadata-only expiry works on the streamed table
+    before = snap.row_count
+    tbl.drop_partitions(spark, below=max(vals))
+    assert tbl.row_count() < before
+
+
 def test_anomaly_fn_multi_chunk_out_of_order(spark):
     """ADVICE r2 (medium): a group spanning multiple Arrow chunks has no
     cross-chunk ordering guarantee — the minute state machine must sort the
