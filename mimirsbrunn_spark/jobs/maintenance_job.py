@@ -21,9 +21,19 @@ def run_maintenance(
     out_dir: str,
     target_files: int = 8,
     keep_snapshots: int = 2,
+    max_file_sets: int = 4,
 ) -> dict:
     """Compact + vacuum every snapshot table under ``out_dir``. Lineage and
-    metrics are vacuumed but never compacted away (audit trail)."""
+    metrics are vacuumed but never compacted away (audit trail).
+
+    Compaction triggers: an UNPARTITIONED table when its file count exceeds
+    ``target_files`` (the rewrite converges to exactly that many); a
+    PARTITIONED table when its current snapshot references more than
+    ``max_file_sets`` append commits (file-set dirs) — a layout-preserving
+    rewrite keeps at least one file per partition value, so a raw file-count
+    trigger would never go quiet and maintenance would rewrite the whole
+    table every run. One compaction collapses the table to a single file
+    set, so this trigger self-quiesces."""
     summary = {}
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
@@ -32,9 +42,19 @@ def run_maintenance(
         tbl = SnapshotTable(path)
         if not tbl.exists():
             continue
-        n_files = len(tbl.snapshot(tbl.current_snapshot_id()).files)
+        snap = tbl.snapshot(tbl.current_snapshot_id())
+        data_root = os.path.join(path, "data")
+        file_sets = {
+            os.path.relpath(f, data_root).split(os.sep)[0] for f in snap.files
+        }
+        partitioned = bool(snap.layout.get("partition_by"))
+        need = (
+            len(file_sets) > max_file_sets
+            if partitioned
+            else len(snap.files) > target_files
+        )
         compacted = False
-        if name not in ("lineage", "metrics") and n_files > target_files:
+        if name not in ("lineage", "metrics") and need:
             retention.compact(spark, tbl, target_files=target_files)
             compacted = True
         removed = retention.vacuum(tbl, keep_snapshots=keep_snapshots)

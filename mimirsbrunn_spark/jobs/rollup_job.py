@@ -85,16 +85,33 @@ def enumerate_days(spark, input_tbl, pages) -> list[str]:
     ]
 
 
-def _derived_in_sync(tbl, series_sid) -> bool:
-    """True iff the table's current snapshot records it was built from the
-    given series snapshot. Backends without snapshot-meta introspection
-    (anything but SnapshotTable) return False → the caller falls back to a
-    full rebuild, which is always safe."""
+def _derived_in_sync(tbl, series_tbl, series_sid) -> bool:
+    """True iff the table's current snapshot reflects the given series
+    snapshot: the recorded ``series_snapshot`` marker equals it, OR is an
+    ancestor separated only by RETENTION partition drops (a retention run
+    advances the series snapshot without adding data — the derived tables
+    then hold a superset of the surviving series, which is exactly the
+    retention-tier contract; treating that as stale would trigger a full
+    rebuild from the truncated series and erase coarse-tier history).
+    Backends without snapshot-meta introspection (anything but
+    SnapshotTable) return False → the caller falls back to a full rebuild,
+    which is always safe."""
     try:
         cur = tbl.current_snapshot_id()
         if cur is None or series_sid is None:
             return False
-        return tbl.snapshot(cur).meta.get("series_snapshot") == series_sid
+        rec = tbl.snapshot(cur).meta.get("series_snapshot")
+        if rec == series_sid:
+            return True
+        if rec is None:
+            return False
+        sid = series_sid
+        while sid is not None and sid != rec:
+            s = series_tbl.snapshot(sid)
+            if "dropped_below" not in s.meta:  # not a retention partition drop
+                return False
+            sid = s.parent_id
+        return sid == rec
     except AttributeError:
         return False
 
@@ -349,10 +366,10 @@ def run_rollup_job(
         cfg.incremental_derived
         and all_exist
         and processed > 0
-        and all(_derived_in_sync(t, sid_before) for t in tier_tables.values())
+        and all(_derived_in_sync(t, series_tbl, sid_before) for t in tier_tables.values())
     )
     in_sync_now = all_exist and all(
-        _derived_in_sync(t, sid_now) for t in tier_tables.values()
+        _derived_in_sync(t, series_tbl, sid_now) for t in tier_tables.values()
     )
     if incremental_ok:
         stats = _refresh_derived_incremental(
@@ -375,7 +392,7 @@ def run_rollup_job(
                 partition_by="pkey",
                 stats_cols=SERVING_STATS,
                 cluster_by=SERVING_CLUSTER,
-            cluster_files=cfg.cluster_files,
+                cluster_files=cfg.cluster_files,
             )
             hs = tiers.host_series(tier_dfs[tier])
             tier_tables[f"gapfill_{tier}"].commit(
@@ -386,7 +403,7 @@ def run_rollup_job(
                 partition_by="pkey",
                 stats_cols=SERVING_STATS,
                 cluster_by=SERVING_CLUSTER,
-            cluster_files=cfg.cluster_files,
+                cluster_files=cfg.cluster_files,
             )
             ch = codecs.encode_chunks(
                 hs, tier, max_points_per_chunk=cfg.chunk_max_points, split_by_month=True

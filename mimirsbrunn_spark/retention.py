@@ -42,19 +42,83 @@ def expire_tier(
     now_epoch: int,
     retention_seconds: dict | None = None,
 ) -> int:
-    """Replace-commit the tier with rows inside the retention window.
-    Returns the number of expired rows. No-op (and no commit) if nothing
-    expires or the tier keeps forever."""
+    """Expire tier rows older than the retention window. Returns the number
+    of expired rows. No-op (and no commit) if nothing expires or the tier
+    keeps forever.
+
+    On a time-partitioned tier table (the rollup_job layout) expiry is
+    METADATA-ONLY for every partition wholly before the cutoff's period
+    (drop_partitions — no data read or rewritten), plus a rewrite of just
+    the one partition straddling the cutoff. The rewrite and the drops both
+    PRESERVE the table's declared layout and its snapshot meta — in
+    particular the ``series_snapshot`` sync marker: a retention commit that
+    lost it would force the next run's derived stage into a full rebuild
+    from the (shorter-retention) 1m series, silently truncating the coarse
+    tiers' history to the raw window — the exact failure retention tiers
+    exist to prevent. Unpartitioned legacy tables fall back to a full
+    filter-rewrite (bounded by tier size, not raw size)."""
+    import datetime as dt
+
     policy = (retention_seconds or DEFAULT_RETENTION).get(tier)
-    if policy is None:
+    if policy is None or not table.exists():
         return 0
     cutoff = now_epoch - policy
+    snap = table.snapshot(table.current_snapshot_id())
+    before = snap.row_count
+    lay = snap.layout
+    keep_meta = {
+        k: v for k, v in snap.meta.items() if k in ("tier", "partition_fmt", "series_snapshot")
+    }
+    # the partitioned fast path is sound only when EVERY file carries a
+    # partition value: empty-valued legacy files always pass partition
+    # pruning (reads must never hide rows), so the straddle rewrite below
+    # would re-append their rows without dropping them — duplication. Mixed
+    # tables take the full-rewrite path instead.
+    mixed = any(snap.partitions.get(f, "") == "" for f in snap.files)
+    if lay.get("partition_by") and not mixed:
+        from .tiers import TIER_PARTITION_FMT
+
+        key = dt.datetime.fromtimestamp(cutoff, dt.timezone.utc).strftime(
+            TIER_PARTITION_FMT[tier][1]
+        )
+        meta = {**keep_meta, "retention_cutoff": cutoff}
+        # partitions strictly below the cutoff's period: metadata-only drop
+        # (skipped entirely when nothing is below — no empty snapshot churn)
+        if any(v and v < key for v in snap.partitions.values()):
+            table.drop_partitions(spark, below=key, meta=meta)
+        # the straddling partition holds rows on both sides of the cutoff
+        cur = table.snapshot(table.current_snapshot_id())
+        if any(cur.partitions.get(f) == key for f in cur.files):
+            part = table.read(spark, partition_min=key, partition_max=key)
+            kept = part.filter(F.col("bucket_ts").cast("long") >= cutoff)
+            n_kept = kept.count()
+            if n_kept < table.partition_row_count(key):
+                # `kept` captured the pre-drop file list (reads resolve the
+                # manifest eagerly; the drop is metadata-only), so the
+                # drop → append order is safe
+                table.drop_partition_values({key}, meta=meta)
+                if n_kept:
+                    table.commit(
+                        kept,
+                        mode="append",
+                        meta=meta,
+                        partition_by=lay.get("partition_by"),
+                        stats_cols=tuple(lay.get("stats_cols", ())),
+                        cluster_by=tuple(lay.get("cluster_by", ())),
+                        cluster_files=lay.get("cluster_files"),
+                    )
+        return before - table.row_count()
+
     df = table.read(spark)
     expired = df.filter(F.col("bucket_ts").cast("long") < cutoff).count()
     if expired == 0:
         return 0
     kept = df.filter(F.col("bucket_ts").cast("long") >= cutoff)
-    table.commit(kept, mode="replace", meta={"retention_cutoff": cutoff, "expired_rows": expired})
+    table.commit(
+        kept,
+        mode="replace",
+        meta={**keep_meta, "retention_cutoff": cutoff, "expired_rows": expired},
+    )
     return expired
 
 

@@ -218,11 +218,15 @@ def run_stream_to_table(
     checkpoint AND inspectable via table time travel).
 
     Each batch commits with the SAME serving layout as the batch job's
-    series table: day-partitioned with (host, bucket_ts) zone maps. A
+    series table (the rollup_job SERVING_STATS/SERVING_CLUSTER constants):
+    day-partitioned, host-clustered, with (host, bucket_ts) zone maps. A
     micro-batch spans a narrow time window, so the day partition and the
     per-file bucket_ts bounds are tight — time-scoped reads of the streamed
-    table prune at the manifest level, and retention's drop_partitions is
-    metadata-only (an unpartitioned streamed table would satisfy neither)."""
+    table prune at the manifest level, host-scoped reads skip files, and
+    retention's drop_partitions is metadata-only (an unpartitioned streamed
+    table would satisfy none of these)."""
+    from .jobs.rollup_job import SERVING_CLUSTER, SERVING_STATS
+
     series = stream_series_1m(spark, pages_dir).withColumn(
         "day", F.to_date("bucket_ts")
     )
@@ -233,7 +237,8 @@ def run_stream_to_table(
             batch_df,
             batch_id,
             partition_by="day",
-            stats_cols=("host", "bucket_ts"),
+            stats_cols=SERVING_STATS,
+            cluster_by=SERVING_CLUSTER,
         )
 
     writer = (

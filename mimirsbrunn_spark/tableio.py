@@ -72,8 +72,37 @@ class IcebergTable:
 
     # -- TableIO ------------------------------------------------------------
 
-    def commit(self, df, mode="append", meta=None, partition_by=None, **_):
+    def commit(
+        self,
+        df,
+        mode="append",
+        meta=None,
+        partition_by=None,
+        stats_cols=(),
+        cluster_by=(),
+        cluster_files=None,
+        **_,
+    ):
+        """``cluster_by`` is honored by physically range-clustering the
+        rows before the write (same file-bounds effect as an Iceberg sort
+        order — Iceberg records per-file column bounds for EVERY column
+        automatically, so ``stats_cols`` needs no action here; tight bounds
+        are what clustering buys)."""
         assert mode in ("append", "replace")
+        if cluster_by:
+            try:
+                from pyspark.sql import functions as F
+
+                keys = ([F.col(partition_by)] if partition_by else []) + [
+                    F.col(c) for c in cluster_by
+                ]
+                df = (
+                    df.repartitionByRange(cluster_files, *keys)
+                    if cluster_files
+                    else df.repartitionByRange(*keys)
+                )
+            except Exception:  # no active session (mock-driven unit tests)
+                pass
         writer = df.writeTo(self.ident)
         if partition_by:
             try:

@@ -391,17 +391,27 @@ class SnapshotTable:
     @staticmethod
     def _stats_pass(stats: dict, stats_filters: dict) -> bool:
         """True iff a file's zone maps can intersect every predicate.
-        Predicate per column: a (lo, hi) tuple (either end None = open) or
-        an iterable of point values. A file missing stats for a column
-        always passes; so does any type-mismatched comparison — pruning
-        must never hide rows the manifest can't bound."""
+        Predicate per column: a 2-element tuple/list ``(lo, hi)`` range
+        (either end None = open) or a set/frozenset of point values —
+        anything else raises rather than guessing (a list mistaken for a
+        point set would prune files whose bounds lie strictly INSIDE the
+        intended range, silently hiding rows). A file missing stats for a
+        column always passes; so does any type-mismatched comparison."""
         for col, pred in stats_filters.items():
             b = stats.get(col)
+            is_range = isinstance(pred, (tuple, list))
+            if is_range and len(pred) != 2:
+                raise ValueError(f"range predicate for {col!r} must be (lo, hi): {pred!r}")
+            if not is_range and not isinstance(pred, (set, frozenset)):
+                raise ValueError(
+                    f"stats filter for {col!r} must be a (lo, hi) tuple or a set "
+                    f"of values, got {type(pred).__name__}"
+                )
             if b is None:
                 continue
             mn, mx = b
             try:
-                if isinstance(pred, tuple):
+                if is_range:
                     lo, hi = pred
                     if lo is not None and mx < lo:
                         return False

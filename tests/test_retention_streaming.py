@@ -158,6 +158,102 @@ def test_job_retention_stage(spark, small_pages_path, tmp_path):
     assert len(parent.files) >= len(cur.files)
 
 
+def test_expire_tier_partitioned_is_metadata_only_and_keeps_layout(
+    spark, small_pages_path, tmp_path
+):
+    """On a time-partitioned tier table, expiry drops whole partitions from
+    the manifest without writing data files (except the one straddling
+    partition), and the new snapshot keeps the layout spec AND the
+    series_snapshot sync marker — losing either silently degrades every
+    later read (no pruning) or forces a full rebuild from the truncated 1m
+    series (coarse-tier history loss)."""
+    import os as _os
+
+    pages = spark.read.parquet(small_pages_path)
+    hourly = tiers.rollup(series.series_1m(pages), "1h").withColumn(
+        "pkey", tiers.partition_key_col("1h")
+    )
+    tbl = SnapshotTable(str(tmp_path / "t1h"))
+    tbl.commit(
+        hourly,
+        mode="replace",
+        meta={"tier": "1h", "series_snapshot": 42},
+        partition_by="pkey",
+        stats_cols=("host", "bucket_ts"),
+        cluster_by=("host",),
+        cluster_files=3,
+    )
+    before = tbl.snapshot(tbl.current_snapshot_id())
+    sets_before = len(_os.listdir(_os.path.join(tbl.path, "data")))
+    max_ts = hourly.agg(F.max(F.col("bucket_ts").cast("long"))).collect()[0][0]
+    expired = retention.expire_tier(
+        spark, tbl, "1h", now_epoch=max_ts, retention_seconds={"1h": 86400}
+    )
+    assert expired > 0
+    after = tbl.snapshot(tbl.current_snapshot_id())
+    cutoff = max_ts - 86400
+    assert tbl.read(spark).filter(F.col("bucket_ts").cast("long") < cutoff).count() == 0
+    assert after.row_count == before.row_count - expired
+    # layout + sync marker survive
+    assert after.layout == before.layout
+    assert after.meta.get("series_snapshot") == 42
+    assert all(after.partitions.get(f) for f in after.files)
+    # at most ONE new file set was written (the straddling partition);
+    # whole-partition expiry is pure manifest arithmetic
+    sets_after = len(_os.listdir(_os.path.join(tbl.path, "data")))
+    assert sets_after <= sets_before + 1
+
+
+def test_retention_then_incremental_refresh_keeps_tier_history(
+    spark, small_pages_pdf, tmp_path
+):
+    """Retention must not break continuous-aggregate invalidation: after a
+    retention run, a later day-append still takes the INCREMENTAL derived
+    path, so 1h history older than the 1m retention window SURVIVES (the
+    whole point of retention tiers). A retention commit that dropped the
+    series_snapshot marker would trigger a full rebuild from the truncated
+    series and silently erase it."""
+    import pandas as pd
+
+    from mimirsbrunn_spark.config import EngineConfig
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    pdf = small_pages_pdf.sort_values("warc_ts")
+    days = sorted(pdf["warc_ts"].dt.date.unique())
+    assert len(days) >= 4
+    first = pdf[pdf["warc_ts"].dt.date < days[-1]]
+    out = str(tmp_path / "out")
+    p1 = str(tmp_path / "p1")
+    first.to_parquet(p1)
+    # 1m keeps ~1.5 days; 1h keeps everything
+    cfg = EngineConfig.load(retention={"1m": int(1.5 * 86400)}, cluster_files=2)
+    max1 = int(first["warc_ts"].max().timestamp())
+    run_rollup_job(spark, p1, out, job_id="r1", config=cfg, retention_now_epoch=max1)
+    s_tbl = SnapshotTable(f"{out}/series_1m")
+    kept_1m_days = {
+        v for v in s_tbl.snapshot(s_tbl.current_snapshot_id()).partitions.values() if v
+    }
+    assert len(kept_1m_days) < len(days) - 1, "1m retention should have dropped days"
+    h_before = SnapshotTable(f"{out}/rollup_1h").read(spark).count()
+
+    # second run: only the last day is new
+    p2 = str(tmp_path / "p2")
+    pdf.to_parquet(p2)
+    run_rollup_job(spark, p2, out, job_id="r2", config=cfg)
+    m = SnapshotTable(f"{out}/metrics").read(spark)
+    assert m.filter("job_id = 'r2' and stage = 'derived_incremental'").count() > 0, (
+        "second run must take the incremental path (sync marker survived retention)"
+    )
+    h = SnapshotTable(f"{out}/rollup_1h").read(spark)
+    assert h.count() > h_before
+    # the 1h rows for days whose 1m series was expired are still there
+    expired_day = min(d.isoformat() for d in days)
+    assert expired_day not in kept_1m_days
+    assert (
+        h.filter(F.to_date("bucket_ts") == F.lit(expired_day)).count() > 0
+    ), "1h history older than the 1m retention window was lost"
+
+
 def test_maintenance_job(spark, small_pages_path, tmp_path):
     from mimirsbrunn_spark.jobs.maintenance_job import run_maintenance
     from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
