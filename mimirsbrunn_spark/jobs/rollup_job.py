@@ -474,9 +474,35 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
         "rollup: distinct (HLL url sketches), topn (heavy-hitter lists), "
         "hist (size histograms + quantiles)",
     )
+    ap.add_argument(
+        "--config",
+        default=None,
+        help="engine TOML (EngineConfig.load layering: defaults < file)",
+    )
+    ap.add_argument(
+        "--retention-now",
+        type=int,
+        default=None,
+        help="epoch-seconds clock enabling the retention stage (explicit "
+        "rather than wall-clock so backfills and replays are reproducible)",
+    )
+    ap.add_argument(
+        "--maintain",
+        action="store_true",
+        help="run table maintenance (layout-preserving compaction + "
+        "snapshot vacuum) over the output dir after the rollup",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name=f"rollup_job[{args.job_id}]")
-    summary = run_rollup_job(spark, args.pages, args.out, args.job_id)
+    cfg = EngineConfig.load(args.config)
+    summary = run_rollup_job(
+        spark,
+        args.pages,
+        args.out,
+        args.job_id,
+        config=cfg,
+        retention_now_epoch=args.retention_now,
+    )
     summary["master"] = spark.sparkContext.master
     for agg in [a for a in args.aggregates.split(",") if a]:
         if agg == "distinct":
@@ -494,6 +520,10 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
         else:
             raise SystemExit(f"unknown --aggregates entry: {agg}")
         summary.setdefault("aggregates", []).append(agg)
+    if args.maintain:
+        from .maintenance_job import run_maintenance
+
+        summary["maintenance"] = run_maintenance(spark, args.out)
     print(summary)
 
 

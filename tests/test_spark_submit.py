@@ -67,6 +67,7 @@ def test_rollup_job_via_spark_submit(spark, small_pages_path, tmp_path):
             out_sub,
             "--aggregates",
             "distinct,topn,hist",
+            "--maintain",
         ],
         capture_output=True,
         text=True,
@@ -116,3 +117,5 @@ def test_rollup_job_via_spark_submit(spark, small_pages_path, tmp_path):
     # master really came from the submit command, not from get_spark defaults
     # (main() prints the summary dict with the live sparkContext.master)
     assert "'master': 'local[4]'" in proc.stdout, proc.stdout[-2000:]
+    # --maintain ran table maintenance over the output dir
+    assert "'maintenance':" in proc.stdout, proc.stdout[-2000:]
