@@ -675,6 +675,47 @@ FROM pick
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (operators/text.scrub_pii): emails, IPv4s and
+    phone numbers replaced by placeholders, with per-kind pre-scrub counts.
+    The documents fixture carries no PII, so deterministic PII is
+    synthesized from doc_id IN the query (same string math in the oracle)
+    and the scrub must remove all of it — a non-trivial value check of the
+    whole regexp chain. Pure regexp_replace/regexp_count columns (codegen)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    salted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1 555 010 "),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" end"),
+    )
+    return docs.select(
+        "doc_id",
+        text.scrub_pii(salted).alias("clean_text"),
+        *text.pii_counts(salted),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    scrubbed, counts = text.scrub_pii_sql("s")
+    return f"""
+WITH lim AS (SELECT * FROM documents WHERE doc_id < 500),
+salted AS (
+  SELECT doc_id,
+         COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.7 or +1 555 010 ' || CAST(doc_id % 100 AS VARCHAR) || ' end' AS s
+  FROM lim)
+SELECT doc_id, {scrubbed} AS clean_text, {', '.join(counts)}
+FROM salted
+"""
+
+
+
 def ops_queries() -> dict:
     return {
         "doc_tokens": q_doc_tokens,
@@ -694,6 +735,7 @@ def ops_queries() -> dict:
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -716,4 +758,5 @@ def ops_oracle_sql() -> dict:
         "gopher_rules": SQL_GOPHER_RULES,
         "simhash": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "pii_scrub": _pii_scrub_sql(),
     }

@@ -290,3 +290,59 @@ def gopher_quality(text_col, min_words: int = 50, max_words: int = 100_000,
         & (alpha_word_ratio(text_col) >= min_alpha_ratio)
         & (repetition_ratio(text_col) <= max_repetition)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data redaction pass)
+# ---------------------------------------------------------------------------
+# Patterns are deliberately restricted to syntax with IDENTICAL semantics in
+# Java regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+# quantifiers, non-capturing groups, ASCII \b — no lookaround, no backrefs.
+# Order matters (emails are scrubbed before phones so the digits inside an
+# already-replaced token can't re-match); both engines apply the same chain.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "ipv4",
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b",
+        "<IP>",
+    ),
+    ("phone", r"\+[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_counts(text_col) -> list[Column]:
+    """One long Column per PII kind: occurrences BEFORE scrubbing (redaction
+    audit metric). Counted on the same sequentially-scrubbed input each
+    pattern would see, so counts and replacements agree."""
+    cols = []
+    cur = text_col if isinstance(text_col, Column) else F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return cols
+
+
+def scrub_pii(text_col) -> Column:
+    """Text with every PII match replaced by its placeholder — pure JVM
+    regexp_replace chain (codegen; no Python in the hot path)."""
+    cur = text_col if isinstance(text_col, Column) else F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, repl)
+    return cur
+
+
+def scrub_pii_sql(expr: str) -> tuple[str, list[str]]:
+    """(scrubbed_expr, [count_exprs...]) — the DuckDB twin of
+    scrub_pii/pii_counts built from the SAME pattern table (regexp_replace
+    with the 'g' flag; counts via len(regexp_extract_all))."""
+    cur = expr
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{p}')) AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    return cur, counts
