@@ -69,11 +69,23 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
-    ap.add_argument("--target-files", type=int, default=8)
+    ap.add_argument(
+        "--target-files", type=int, default=8,
+        help="compaction target for UNPARTITIONED tables (file count)",
+    )
     ap.add_argument("--keep-snapshots", type=int, default=2)
+    ap.add_argument(
+        "--max-file-sets", type=int, default=4,
+        help="compaction trigger for PARTITIONED tables: rewrite when the "
+        "current snapshot references more than this many append commits",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="maintenance_job")
-    print(run_maintenance(spark, args.out, args.target_files, args.keep_snapshots))
+    print(
+        run_maintenance(
+            spark, args.out, args.target_files, args.keep_snapshots, args.max_file_sets
+        )
+    )
 
 
 if __name__ == "__main__":  # pragma: no cover

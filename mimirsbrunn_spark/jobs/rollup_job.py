@@ -114,6 +114,11 @@ def _derived_in_sync(tbl, series_tbl, series_sid) -> bool:
         return sid == rec
     except AttributeError:
         return False
+    except FileNotFoundError:
+        # an intermediate series manifest was vacuumed away — can't prove
+        # the gap is retention-only; report stale (the rebuild is
+        # history-preserving, so the cost is compute, not data)
+        return False
 
 
 def _refresh_derived_incremental(
@@ -381,11 +386,54 @@ def run_rollup_job(
         )
     elif not in_sync_now:
         base = series_tbl.read(spark)
-        tier_dfs = tiers.cascade(base)
+        # HISTORY-PRESERVING rebuild: once 1m retention has truncated the
+        # series, a naive rebuild-from-series would replace the coarse tiers
+        # with aggregates of the surviving window only — erasing exactly the
+        # history retention tiers exist to keep. Instead:
+        # - the 1h tier is rebuilt from the series for buckets >= the
+        #   series' oldest surviving instant (manifest min day — no scan;
+        #   1h buckets never straddle a day boundary so the split is exact)
+        #   UNIONed with the EXISTING tier's rows for older buckets (their
+        #   materialized values were computed when the raw data existed —
+        #   the TimescaleDB cagg-vs-raw-retention semantics);
+        # - each coarser tier then cascades from the previous tier's FULL
+        #   (preserved ∪ rebuilt) content, so every 1d/30d bucket — even one
+        #   straddling the coverage edge — gets its exact full-history value.
+        # With an untruncated series the preserved set is empty and this is
+        # the plain full rebuild. This makes EVERY desync trigger (crash
+        # mid-refresh, maintenance, backend swap) non-destructive by
+        # construction.
+        import datetime as _dt
+
+        series_min_epoch = None
+        try:
+            s_snap = series_tbl.snapshot(series_tbl.current_snapshot_id())
+            s_days = sorted({v for v in s_snap.partitions.values() if v})
+            if s_days:
+                series_min_epoch = int(
+                    _dt.datetime.fromisoformat(s_days[0])
+                    .replace(tzinfo=_dt.timezone.utc)
+                    .timestamp()
+                )
+        except (AttributeError, FileNotFoundError):
+            pass  # backend without manifest introspection → plain rebuild
+        prev_full = None
         for tier in ("1h", "1d", "30d"):
             tbl = tier_tables[f"rollup_{tier}"]
+            if prev_full is None:  # 1h from the (possibly truncated) series
+                fresh = tiers.rollup(base, tier)
+                if series_min_epoch is not None and tbl.exists():
+                    sec = F.col("bucket_ts").cast("long")
+                    old = (
+                        tbl.read(spark)
+                        .select(*fresh.columns)
+                        .filter(sec < series_min_epoch)
+                    )
+                    fresh = old.unionByName(fresh.filter(sec >= series_min_epoch))
+            else:  # coarser tiers from the FULL previous tier — exact everywhere
+                fresh = tiers.rollup(prev_full, tier)
             tbl.commit(
-                tier_dfs[tier].withColumn("pkey", tiers.partition_key_col(tier)),
+                fresh.withColumn("pkey", tiers.partition_key_col(tier)),
                 mode="replace",
                 meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1],
                       "series_snapshot": sid_now},
@@ -394,7 +442,10 @@ def run_rollup_job(
                 cluster_by=SERVING_CLUSTER,
                 cluster_files=cfg.cluster_files,
             )
-            hs = tiers.host_series(tier_dfs[tier])
+            # re-read the committed tier (small, manifest-backed) instead of
+            # recomputing the union lineage for the next cascade step
+            prev_full = tbl.read(spark).drop("pkey") if hasattr(tbl, "snapshot") else fresh
+            hs = tiers.host_series(prev_full)
             tier_tables[f"gapfill_{tier}"].commit(
                 gapfill.gapfill(hs, tier).withColumn("pkey", tiers.partition_key_col(tier)),
                 mode="replace",
@@ -445,6 +496,20 @@ def run_rollup_job(
                 retention_now_epoch,
                 retention_seconds=cfg.retention,
             )
+        # Re-pin the derived tables' sync marker to the series snapshot AS
+        # OF the end of retention: the 1m partition drops above advanced the
+        # series snapshot id without changing any data the derived tables
+        # miss, and while _derived_in_sync can walk retention-only series
+        # commits, that walk dies once vacuum expires the intermediate
+        # manifests (e.g. repeated idle `--retention-now --maintain` runs).
+        # A metadata-only meta bump per table keeps the marker exactly
+        # current so the walk is never needed. SnapshotTable-only (other
+        # backends fall back to the walk / safe rebuild).
+        sid_after = series_tbl.current_snapshot_id() if series_tbl.exists() else None
+        if sid_after is not None and sid_after != sid_now:
+            for t in tier_tables.values():
+                if hasattr(t, "update_meta") and t.exists():
+                    t.update_meta({"series_snapshot": sid_after})
         metrics.record(
             spark, job_id, stage="retention", kv={f"expired_{k}": v for k, v in expired.items()}
         )

@@ -86,27 +86,23 @@ def expire_tier(
         # (skipped entirely when nothing is below — no empty snapshot churn)
         if any(v and v < key for v in snap.partitions.values()):
             table.drop_partitions(spark, below=key, meta=meta)
-        # the straddling partition holds rows on both sides of the cutoff
+        # the straddling partition holds rows on both sides of the cutoff:
+        # one ATOMIC replace_partitions swap (a separate drop + append would
+        # open a crash window with the partition's surviving rows deleted)
         cur = table.snapshot(table.current_snapshot_id())
         if any(cur.partitions.get(f) == key for f in cur.files):
             part = table.read(spark, partition_min=key, partition_max=key)
             kept = part.filter(F.col("bucket_ts").cast("long") >= cutoff)
-            n_kept = kept.count()
-            if n_kept < table.partition_row_count(key):
-                # `kept` captured the pre-drop file list (reads resolve the
-                # manifest eagerly; the drop is metadata-only), so the
-                # drop → append order is safe
-                table.drop_partition_values({key}, meta=meta)
-                if n_kept:
-                    table.commit(
-                        kept,
-                        mode="append",
-                        meta=meta,
-                        partition_by=lay.get("partition_by"),
-                        stats_cols=tuple(lay.get("stats_cols", ())),
-                        cluster_by=tuple(lay.get("cluster_by", ())),
-                        cluster_files=lay.get("cluster_files"),
-                    )
+            if kept.count() < table.partition_row_count(key):
+                table.replace_partitions(
+                    kept,
+                    {key},
+                    meta=meta,
+                    partition_by=lay.get("partition_by"),
+                    stats_cols=tuple(lay.get("stats_cols", ())),
+                    cluster_by=tuple(lay.get("cluster_by", ())),
+                    cluster_files=lay.get("cluster_files"),
+                )
         return before - table.row_count()
 
     df = table.read(spark)
@@ -178,6 +174,12 @@ def compact(spark: SparkSession, table: SnapshotTable, target_files: int = 8) ->
     into a full scan the first time maintenance runs."""
     snap = table.snapshot(table.current_snapshot_id())
     lay = snap.layout
+    # Carry the snapshot meta forward: it holds operational markers the
+    # engine reads back — series_snapshot (derived-stage sync; losing it
+    # forces a full rebuild from the retention-truncated series),
+    # host_buckets/month_split (read_chunks composite-key pruning). A
+    # compaction that reset meta would silently disable all of them.
+    meta = {**snap.meta, "compaction": True}
     if lay.get("partition_by") or lay.get("cluster_by"):
         df = table.read(spark)
         if lay.get("partition_by") and not lay.get("cluster_by"):
@@ -188,11 +190,11 @@ def compact(spark: SparkSession, table: SnapshotTable, target_files: int = 8) ->
         return table.commit(
             df,
             mode="replace",
-            meta={"compaction": True},
+            meta=meta,
             partition_by=lay.get("partition_by"),
             stats_cols=tuple(lay.get("stats_cols", ())),
             cluster_by=tuple(lay.get("cluster_by", ())),
             cluster_files=lay.get("cluster_files"),
         )
     df = table.read(spark).repartition(target_files)
-    return table.commit(df, mode="replace", meta={"compaction": True})
+    return table.commit(df, mode="replace", meta=meta)

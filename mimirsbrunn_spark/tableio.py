@@ -84,25 +84,19 @@ class IcebergTable:
         **_,
     ):
         """``cluster_by`` is honored by physically range-clustering the
-        rows before the write (same file-bounds effect as an Iceberg sort
-        order — Iceberg records per-file column bounds for EVERY column
-        automatically, so ``stats_cols`` needs no action here; tight bounds
-        are what clustering buys)."""
+        rows before the write, via the SAME helper SnapshotTable.commit uses
+        (tables.cluster_for_write) so the two backends produce identical
+        file-bound quality. Iceberg records per-file column bounds for EVERY
+        column automatically, so ``stats_cols`` needs no action here; tight
+        bounds are what clustering buys. Clustering is skipped only for
+        non-DataFrame inputs (the mock-driven unit tests) — a real DataFrame
+        with a bad cluster column RAISES rather than silently committing
+        unclustered."""
         assert mode in ("append", "replace")
-        if cluster_by:
-            try:
-                from pyspark.sql import functions as F
+        if cluster_by and isinstance(df, DataFrame):
+            from .tables import cluster_for_write
 
-                keys = ([F.col(partition_by)] if partition_by else []) + [
-                    F.col(c) for c in cluster_by
-                ]
-                df = (
-                    df.repartitionByRange(cluster_files, *keys)
-                    if cluster_files
-                    else df.repartitionByRange(*keys)
-                )
-            except Exception:  # no active session (mock-driven unit tests)
-                pass
+            df = cluster_for_write(df, partition_by, cluster_by, cluster_files)
         writer = df.writeTo(self.ident)
         if partition_by:
             try:

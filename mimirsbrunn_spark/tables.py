@@ -120,6 +120,25 @@ def _footer_stats(pf, cols: tuple[str, ...]) -> dict:
     return out
 
 
+def cluster_for_write(df, partition_by, cluster_by, cluster_files):
+    """Range-repartition rows on (partition key, cluster keys) before a
+    write so each file covers a narrow value range and the recorded bounds
+    are tight (Iceberg sort-order / write-clustering analog). Shared by
+    SnapshotTable.commit and tableio.IcebergTable.commit so both backends
+    produce the same file-bound quality. ``cluster_files`` pins the range
+    partition count; None lets AQE right-size."""
+    if not cluster_by:
+        return df
+    from pyspark.sql import functions as F
+
+    keys = ([F.col(partition_by)] if partition_by else []) + [F.col(c) for c in cluster_by]
+    return (
+        df.repartitionByRange(cluster_files, *keys)
+        if cluster_files
+        else df.repartitionByRange(*keys)
+    )
+
+
 class SnapshotTable:
     """A single table with atomic snapshot commits over parquet."""
 
@@ -204,29 +223,116 @@ class SnapshotTable:
         ``cluster_files`` pins the range-partition count (file count per
         write); None lets AQE right-size by advisory partition size."""
         assert mode in ("append", "replace")
-        from pyspark.sql import functions as F
+        new = self._write_fileset(df, partition_by, stats_cols, cluster_by, cluster_files)
 
-        if cluster_by:
-            keys = ([F.col(partition_by)] if partition_by else []) + [
-                F.col(c) for c in cluster_by
-            ]
-            df = (
-                df.repartitionByRange(cluster_files, *keys)
-                if cluster_files
-                else df.repartitionByRange(*keys)
+        # Commit under the table lock: the parent is re-read inside the
+        # critical section and the manifest rebased onto it, so two
+        # concurrent appends serialize instead of silently dropping each
+        # other's files (optimistic-concurrency commit, Iceberg-style; the
+        # expensive data write above happens outside the lock).
+        with self._lock():
+            parent = self.current_snapshot_id()
+            if parent is not None and mode == "append":
+                prev = self.snapshot(parent)
+                files = prev.files + new["files"]
+                rows = prev.row_count + new["rows"]
+                parts = {**prev.partitions, **new["partitions"]}
+                frows = {**prev.file_rows, **new["file_rows"]}
+                fstats = {**prev.file_stats, **new["file_stats"]}
+            else:
+                files, rows, parts, frows, fstats = (
+                    new["files"], new["rows"], new["partitions"],
+                    new["file_rows"], new["file_stats"],
+                )
+            return self._publish(
+                parent, files, rows, parts, frows, fstats, new["layout"],
+                new["schema_json"], meta or {},
             )
+
+    def replace_partitions(
+        self,
+        df: DataFrame,
+        values,
+        meta: dict | None = None,
+        partition_by: str | None = None,
+        stats_cols: tuple[str, ...] = (),
+        cluster_by: tuple[str, ...] = (),
+        cluster_files: int | None = None,
+    ) -> int:
+        """ATOMIC partition overwrite (the Iceberg overwrite-partitions /
+        INSERT OVERWRITE analog): one published snapshot that both removes
+        every current file whose partition value is in ``values`` and adds
+        ``df``'s files. A separate drop-commit followed by an append-commit
+        exposes a window where a crash leaves the partition's surviving rows
+        deleted in the current snapshot; this primitive has no such window —
+        the data write happens first, the manifest swap is a single
+        os.replace. Used by retention's straddling-partition rewrite and the
+        incremental tier refresh."""
+        values = set(values)
+        new = self._write_fileset(df, partition_by, stats_cols, cluster_by, cluster_files)
+        with self._lock():
+            parent = self.current_snapshot_id()
+            if parent is not None:
+                prev = self.snapshot(parent)
+                keep = [f for f in prev.files if prev.partitions.get(f, "") not in values]
+                files = keep + new["files"]
+                parts = {
+                    **{f: prev.partitions.get(f, "") for f in keep},
+                    **new["partitions"],
+                }
+                frows = {
+                    **{f: self._file_rows(prev, f) for f in keep},
+                    **new["file_rows"],
+                }
+                fstats = {
+                    **{f: prev.file_stats[f] for f in keep if f in prev.file_stats},
+                    **new["file_stats"],
+                }
+                rows = sum(frows.values())
+            else:
+                files, rows, parts, frows, fstats = (
+                    new["files"], new["rows"], new["partitions"],
+                    new["file_rows"], new["file_stats"],
+                )
+            return self._publish(
+                parent, files, rows, parts, frows, fstats, new["layout"],
+                new["schema_json"],
+                {**(meta or {}), "replaced_values": sorted(values)},
+            )
+
+    def update_meta(self, patch: dict) -> int:
+        """Metadata-only commit: republish the current snapshot's exact file
+        set with ``patch`` merged into its meta (no Spark job, no data
+        write). Used to advance sync markers (e.g. ``series_snapshot``)
+        after operations that change snapshot ids without changing data —
+        retention partition drops — so later runs don't misread the table
+        as stale."""
+        with self._lock():
+            cur = self.snapshot(self.current_snapshot_id())
+            return self._publish(
+                cur.snapshot_id, cur.files, cur.row_count, cur.partitions,
+                cur.file_rows, cur.file_stats, cur.layout, cur.schema_json,
+                {**cur.meta, **patch},
+            )
+
+    def _write_fileset(
+        self, df, partition_by, stats_cols, cluster_by, cluster_files
+    ) -> dict:
+        """Write ``df`` as a new immutable file set (outside any lock) and
+        collect its manifest entries from the parquet FOOTERS (driver-side
+        pyarrow metadata read — no Spark job, no data re-scan; the Iceberg
+        manifest-stats analog). Shared by commit/replace_partitions."""
+        df = cluster_for_write(df, partition_by, cluster_by, cluster_files)
         set_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
         if partition_by:
+            from pyspark.sql import functions as F
+
             df.withColumn("_p", F.col(partition_by).cast("string")).write.mode(
                 "errorifexists"
             ).partitionBy("_p").parquet(set_dir)
         else:
             df.write.mode("errorifexists").parquet(set_dir)
 
-        # Per-file row counts come from the parquet FOOTERS (driver-side
-        # pyarrow metadata read, no Spark job, no data re-scan) — the Iceberg
-        # manifest-stats analog. commit() and drop_partitions() are then pure
-        # arithmetic over these stats.
         import pyarrow.parquet as pq
 
         new_files, new_parts, new_frows, new_fstats = [], {}, {}, {}
@@ -243,28 +349,14 @@ class SnapshotTable:
                         st = _footer_stats(pf, tuple(stats_cols))
                         if st:
                             new_fstats[full] = st
-        new_rows = sum(new_frows.values())
-        schema_json = df.schema.json()
-
-        # Commit under the table lock: the parent is re-read inside the
-        # critical section and the manifest rebased onto it, so two
-        # concurrent appends serialize instead of silently dropping each
-        # other's files (optimistic-concurrency commit, Iceberg-style; the
-        # expensive data write above happens outside the lock).
-        with self._lock():
-            parent = self.current_snapshot_id()
-            if parent is not None and mode == "append":
-                prev = self.snapshot(parent)
-                files = prev.files + new_files
-                rows = prev.row_count + new_rows
-                parts = {**prev.partitions, **new_parts}
-                frows = {**prev.file_rows, **new_frows}
-                fstats = {**prev.file_stats, **new_fstats}
-            else:
-                files, rows, parts, frows, fstats = (
-                    new_files, new_rows, new_parts, new_frows, new_fstats,
-                )
-            layout = {
+        return {
+            "files": new_files,
+            "partitions": new_parts,
+            "file_rows": new_frows,
+            "file_stats": new_fstats,
+            "rows": sum(new_frows.values()),
+            "schema_json": df.schema.json(),
+            "layout": {
                 k: v
                 for k, v in {
                     "partition_by": partition_by,
@@ -273,10 +365,8 @@ class SnapshotTable:
                     "cluster_files": cluster_files,
                 }.items()
                 if v
-            }
-            return self._publish(
-                parent, files, rows, parts, frows, fstats, layout, schema_json, meta or {}
-            )
+            },
+        }
 
     @contextmanager
     def _lock(self):

@@ -254,6 +254,139 @@ def test_retention_then_incremental_refresh_keeps_tier_history(
     ), "1h history older than the 1m retention window was lost"
 
 
+def test_replace_partitions_is_single_atomic_snapshot(spark, tmp_path):
+    """replace_partitions swaps a partition's files in ONE published
+    snapshot (no drop-then-append window where the partition's surviving
+    rows are missing from the current snapshot)."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(d, i) for d in ("a", "b") for i in range(5)], "p string, v int"
+    )
+    tbl.commit(df, partition_by="p", stats_cols=("v",))
+    n_snaps = len(tbl.snapshots())
+    repl = spark.createDataFrame([("b", 99)], "p string, v int")
+    tbl.replace_partitions(repl, {"b"}, partition_by="p", stats_cols=("v",))
+    assert len(tbl.snapshots()) == n_snaps + 1  # exactly one new snapshot
+    got = sorted((r.p, r.v) for r in tbl.read(spark).collect())
+    assert got == sorted([("a", i) for i in range(5)] + [("b", 99)])
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    assert snap.row_count == 6
+    assert all(f in snap.file_stats for f in snap.files)
+
+
+def test_update_meta_is_metadata_only(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.commit(spark.range(5).toDF("id"), meta={"a": 1})
+    files_before = tbl.snapshot(tbl.current_snapshot_id()).files
+    tbl.update_meta({"series_snapshot": 7})
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    assert snap.meta == {"a": 1, "series_snapshot": 7}
+    assert snap.files == files_before  # no data written
+
+
+def test_compaction_preserves_snapshot_meta(spark, small_pages_path, tmp_path):
+    """compact() must carry the snapshot meta forward — it holds the
+    series_snapshot sync marker and the chunk tables' pruning parameters;
+    resetting it would force a destructive rebuild / disable chunk
+    pruning on the next run."""
+    pages = spark.read.parquet(small_pages_path)
+    hourly = tiers.rollup(series.series_1m(pages), "1h").withColumn(
+        "pkey", tiers.partition_key_col("1h")
+    )
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    for _ in range(2):
+        tbl.commit(
+            hourly, mode="append", partition_by="pkey",
+            meta={"tier": "1h", "series_snapshot": 9},
+        )
+    retention.compact(spark, tbl)
+    m = tbl.snapshot(tbl.current_snapshot_id()).meta
+    assert m.get("series_snapshot") == 9 and m.get("compaction") is True
+
+
+def test_full_rebuild_preserves_tier_history_after_retention(
+    spark, small_pages_pdf, tmp_path
+):
+    """The destructive-rebuild hazard, closed at the root: retention
+    truncates the 1m series, then a FORCED desync (maintenance wiping the
+    sync marker is simulated by deleting it) triggers the full-rebuild
+    path — which must preserve 1h/1d/30d history older than the surviving
+    series instead of replacing the tiers with the 7-day window."""
+    from mimirsbrunn_spark.config import EngineConfig
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    p = str(tmp_path / "p")
+    small_pages_pdf.to_parquet(p)
+    out = str(tmp_path / "out")
+    cfg = EngineConfig.load(retention={"1m": int(1.5 * 86400)}, cluster_files=2)
+    max_ts = int(small_pages_pdf["warc_ts"].max().timestamp())
+    run_rollup_job(spark, p, out, job_id="r1", config=cfg, retention_now_epoch=max_ts)
+
+    h_tbl = SnapshotTable(f"{out}/rollup_1h")
+    before = {
+        (r.host, r.bucket_ts, r.lang): (r.doc_count, r.bytes_sum)
+        for r in h_tbl.read(spark).drop("pkey").collect()
+    }
+    s_tbl = SnapshotTable(f"{out}/series_1m")
+    surviving_days = {
+        v for v in s_tbl.snapshot(s_tbl.current_snapshot_id()).partitions.values() if v
+    }
+    old_keys = {
+        k for k in before if k[1].date().isoformat() not in surviving_days
+    }
+    assert old_keys, "fixture must have 1h history beyond the 1m window"
+
+    # force a desync: wipe the marker on one tier table (what a meta-losing
+    # maintenance rewrite used to do)
+    h_tbl.update_meta({"series_snapshot": None})
+    run_rollup_job(spark, p, out, job_id="r2", config=cfg)
+    m = SnapshotTable(f"{out}/metrics").read(spark)
+    assert m.filter("job_id = 'r2' and stage = 'derived'").count() > 0, (
+        "forced desync must take the full-rebuild path"
+    )
+    after = {
+        (r.host, r.bucket_ts, r.lang): (r.doc_count, r.bytes_sum)
+        for r in h_tbl.read(spark).drop("pkey").collect()
+    }
+    assert after == before, "rebuild must reproduce the tier exactly, incl. old history"
+    # and the coarser tiers cascade from the FULL 1h content
+    d_rows = SnapshotTable(f"{out}/rollup_1d").read(spark)
+    assert (
+        d_rows.filter(
+            F.to_date("bucket_ts") < F.lit(min(surviving_days))
+        ).count()
+        > 0
+    )
+
+
+def test_maintenance_then_rollup_is_not_destructive(spark, small_pages_pdf, tmp_path):
+    """The full operational cycle — rollup with retention, maintenance
+    (compaction + vacuum), rollup again — must not erase coarse-tier
+    history (the compact-loses-meta / vacuum-breaks-walk regression)."""
+    from mimirsbrunn_spark.config import EngineConfig
+    from mimirsbrunn_spark.jobs.maintenance_job import run_maintenance
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    p = str(tmp_path / "p")
+    small_pages_pdf.to_parquet(p)
+    out = str(tmp_path / "out")
+    cfg = EngineConfig.load(retention={"1m": int(1.5 * 86400)}, cluster_files=2)
+    max_ts = int(small_pages_pdf["warc_ts"].max().timestamp())
+    run_rollup_job(spark, p, out, job_id="m1", config=cfg, retention_now_epoch=max_ts)
+    h_tbl = SnapshotTable(f"{out}/rollup_1h")
+    n_before = h_tbl.read(spark).count()
+
+    # aggressive maintenance: compact everything, vacuum to 1 snapshot
+    run_maintenance(spark, out, keep_snapshots=1, max_file_sets=0)
+    # idle re-runs with retention (advance series snapshots, vacuum between)
+    for jid in ("m2", "m3"):
+        run_rollup_job(spark, p, out, job_id=jid, config=cfg, retention_now_epoch=max_ts)
+        run_maintenance(spark, out, keep_snapshots=1, max_file_sets=0)
+    assert h_tbl.read(spark).count() == n_before, (
+        "tier history changed across idle maintenance/retention cycles"
+    )
+
+
 def test_maintenance_job(spark, small_pages_path, tmp_path):
     from mimirsbrunn_spark.jobs.maintenance_job import run_maintenance
     from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
