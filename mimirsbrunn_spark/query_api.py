@@ -408,6 +408,10 @@ def table_report(spark: SparkSession, out_dir: str) -> dict:
             "partitions": len(parts),
             "partition_min": parts[0] if parts else None,
             "partition_max": parts[-1] if parts else None,
+            # serving-layout health: a serving table with layout {} or
+            # files_with_stats < files prunes worse than intended
+            "layout": snap.layout,
+            "files_with_stats": sum(1 for f in snap.files if f in snap.file_stats),
         }
     lin_path = os.path.join(out_dir, "lineage")
     lin = SnapshotTable(lin_path)
