@@ -121,6 +121,20 @@ def _derived_in_sync(tbl, series_tbl, series_sid) -> bool:
         return False
 
 
+def _swap_partitions(tbl, df, values, **commit_kw) -> None:
+    """Atomic partition overwrite when the backend supports it
+    (SnapshotTable.replace_partitions / Iceberg overwritePartitions —
+    ONE published snapshot), falling back to drop + append for minimal
+    backends. The fallback has a crash window (dirty partitions missing
+    from the current snapshot until the append lands); on backends with
+    the primitive there is no such window."""
+    if hasattr(tbl, "replace_partitions"):
+        tbl.replace_partitions(df, values, **commit_kw)
+    else:
+        tbl.drop_partition_values(values, meta=commit_kw.get("meta"))
+        tbl.commit(df, mode="append", **commit_kw)
+
+
 def _refresh_derived_incremental(
     spark, tier_tables, series_tbl, processed_days, cfg, sid_now
 ) -> dict:
@@ -162,10 +176,10 @@ def _refresh_derived_incremental(
         )
         fresh = tiers.rollup(src, tier).withColumn("pkey", tiers.partition_key_col(tier))
         fresh = fresh.filter(F.col("pkey").isin(sorted(pkeys)))
-        tbl.drop_partition_values(pkeys, meta={"refresh": tier, "days": processed_days})
-        tbl.commit(
+        _swap_partitions(
+            tbl,
             fresh,
-            mode="append",
+            pkeys,
             meta={"tier": tier, "partition_fmt": tiers.TIER_PARTITION_FMT[tier][1],
                   "refreshed": sorted(pkeys), "series_snapshot": sid_now},
             partition_by="pkey",
@@ -195,13 +209,10 @@ def _refresh_derived_incremental(
             hs, tier, max_points_per_chunk=cfg.chunk_max_points, split_by_month=True
         ).withColumn("pkey", codecs.chunk_partition_col(cfg.host_buckets))
         ch_tbl = tier_tables[f"chunks_{tier}"]
-        ch_tbl.drop_partition_values(
-            {f"{hb:04d}|{m}" for hb in range(cfg.host_buckets) for m in months},
-            meta={"refresh": tier, "months": sorted(months)},
-        )
-        ch_tbl.commit(
+        _swap_partitions(
+            ch_tbl,
             ch,
-            mode="append",
+            {f"{hb:04d}|{m}" for hb in range(cfg.host_buckets) for m in months},
             meta={"tier": tier, "host_buckets": cfg.host_buckets, "month_split": True,
                   "series_snapshot": sid_now},
             partition_by="pkey",
@@ -405,33 +416,47 @@ def run_rollup_job(
         # construction.
         import datetime as _dt
 
+        # Coverage lower bound of the surviving series. A series with NO
+        # surviving partitions (everything expired, e.g. a long idle gap)
+        # covers nothing — the sentinel makes every tier preserve ALL its
+        # existing rows instead of replace-committing empty. None (backend
+        # without manifest introspection) falls back to the plain
+        # non-preserving rebuild.
+        _NOTHING_COVERED = 2**62
         series_min_epoch = None
         try:
             s_snap = series_tbl.snapshot(series_tbl.current_snapshot_id())
             s_days = sorted({v for v in s_snap.partitions.values() if v})
-            if s_days:
-                series_min_epoch = int(
+            series_min_epoch = (
+                int(
                     _dt.datetime.fromisoformat(s_days[0])
                     .replace(tzinfo=_dt.timezone.utc)
                     .timestamp()
                 )
+                if s_days
+                else _NOTHING_COVERED
+            )
         except (AttributeError, FileNotFoundError):
             pass  # backend without manifest introspection → plain rebuild
         prev_full = None
+        src_min = series_min_epoch  # coverage lower bound of the source below
         for tier in ("1h", "1d", "30d"):
             tbl = tier_tables[f"rollup_{tier}"]
-            if prev_full is None:  # 1h from the (possibly truncated) series
-                fresh = tiers.rollup(base, tier)
-                if series_min_epoch is not None and tbl.exists():
-                    sec = F.col("bucket_ts").cast("long")
-                    old = (
-                        tbl.read(spark)
-                        .select(*fresh.columns)
-                        .filter(sec < series_min_epoch)
-                    )
-                    fresh = old.unionByName(fresh.filter(sec >= series_min_epoch))
-            else:  # coarser tiers from the FULL previous tier — exact everywhere
-                fresh = tiers.rollup(prev_full, tier)
+            src = base if prev_full is None else prev_full
+            fresh = tiers.rollup(src, tier)
+            # EVERY tier preserves its existing rows for buckets the source
+            # can't fully cover — not just 1h: once expire_tier has trimmed
+            # the 1h tier to its (90-day default) window, a 1d/30d rebuild
+            # from it alone would erase their longer history the same way a
+            # series-truncated 1h rebuild would. Coverage floor = first
+            # bucket starting at/after the source's oldest instant (bucket
+            # grids nest across tiers, all day-aligned).
+            if src_min is not None and tbl.exists():
+                step = series.TIER_SECONDS[tier]
+                floor_b = -(-src_min // step) * step
+                sec = F.col("bucket_ts").cast("long")
+                old = tbl.read(spark).select(*fresh.columns).filter(sec < floor_b)
+                fresh = old.unionByName(fresh.filter(sec >= floor_b))
             tbl.commit(
                 fresh.withColumn("pkey", tiers.partition_key_col(tier)),
                 mode="replace",
@@ -445,6 +470,13 @@ def run_rollup_job(
             # re-read the committed tier (small, manifest-backed) instead of
             # recomputing the union lineage for the next cascade step
             prev_full = tbl.read(spark).drop("pkey") if hasattr(tbl, "snapshot") else fresh
+            # next tier's coverage starts at THIS tier's oldest surviving
+            # instant (one tiny driver agg over the rolled-up tier — the
+            # rebuild path is rare and the tier is retention-bounded)
+            row = prev_full.agg(F.min(F.col("bucket_ts").cast("long"))).first()
+            if src_min is not None:
+                # empty tier content ⇒ the next tier can rebuild nothing
+                src_min = row[0] if row and row[0] is not None else _NOTHING_COVERED
             hs = tiers.host_series(prev_full)
             tier_tables[f"gapfill_{tier}"].commit(
                 gapfill.gapfill(hs, tier).withColumn("pkey", tiers.partition_key_col(tier)),

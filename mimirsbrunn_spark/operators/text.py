@@ -309,6 +309,11 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
         "<IP>",
     ),
     ("phone", r"\+[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+    # domestic formats without an international prefix — (415) 555-0199 and
+    # 415-555-0199 / 415.555.0199. The 3-3-4 digit-group shape doesn't
+    # collide with dates (4-2-2) or IPv4s (already scrubbed above).
+    ("phone_paren", r"\(\d{3}\) ?\d{3}[- ]\d{4}", "<PHONE>"),
+    ("phone_sep", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
 ]
 
 

@@ -174,12 +174,21 @@ def compact(spark: SparkSession, table: SnapshotTable, target_files: int = 8) ->
     into a full scan the first time maintenance runs."""
     snap = table.snapshot(table.current_snapshot_id())
     lay = snap.layout
-    # Carry the snapshot meta forward: it holds operational markers the
-    # engine reads back — series_snapshot (derived-stage sync; losing it
-    # forces a full rebuild from the retention-truncated series),
-    # host_buckets/month_split (read_chunks composite-key pruning). A
-    # compaction that reset meta would silently disable all of them.
-    meta = {**snap.meta, "compaction": True}
+    # Carry the OPERATIONAL markers forward (whitelist, not a blanket copy):
+    # series_snapshot (derived-stage sync; losing it forces a full rebuild
+    # from the retention-truncated series), host_buckets/month_split
+    # (read_chunks composite-key pruning), tier/partition_fmt and the aux
+    # jobs' serve parameters. Commit-TYPE flags (dropped_below /
+    # dropped_values / replaced_values / retention_cutoff) must NOT be
+    # copied: _derived_in_sync classifies snapshots by them, and a
+    # compaction snapshot wearing a stale 'dropped_below' would be
+    # misread as a retention-only partition drop.
+    _KEEP = (
+        "tier", "partition_fmt", "series_snapshot",
+        "host_buckets", "month_split", "lgk", "n", "slack",
+    )
+    meta = {k: v for k, v in snap.meta.items() if k in _KEEP}
+    meta["compaction"] = True
     if lay.get("partition_by") or lay.get("cluster_by"):
         df = table.read(spark)
         if lay.get("partition_by") and not lay.get("cluster_by"):

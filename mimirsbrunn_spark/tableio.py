@@ -39,6 +39,17 @@ class TableIO(Protocol):
         cluster_files: int | None = None,
     ) -> int: ...
 
+    def replace_partitions(
+        self,
+        df: DataFrame,
+        values,
+        meta: dict | None = None,
+        partition_by: str | None = None,
+        stats_cols: tuple[str, ...] = (),
+        cluster_by: tuple[str, ...] = (),
+        cluster_files: int | None = None,
+    ) -> int: ...
+
     def read(self, spark: SparkSession, **kw) -> DataFrame: ...
 
     def read_at(self, spark: SparkSession, snapshot_id: int, **kw) -> DataFrame: ...
@@ -114,6 +125,33 @@ class IcebergTable:
             writer.create()
         else:
             writer.append()
+        return self.current_snapshot_id()
+
+    def replace_partitions(
+        self,
+        df,
+        values,
+        meta=None,
+        partition_by=None,
+        stats_cols=(),
+        cluster_by=(),
+        cluster_files=None,
+    ):
+        """Atomic partition overwrite via Iceberg's DYNAMIC overwrite
+        (``overwritePartitions`` — replaces exactly the partitions the
+        written rows touch, one snapshot). ``values`` is advisory here: the
+        caller guarantees df's rows cover those partitions (SnapshotTable
+        enforces it; Iceberg's dynamic mode derives the set from the data
+        itself, which is the same contract)."""
+        assert self.exists(), "replace_partitions needs an existing table"
+        if cluster_by and isinstance(df, DataFrame):
+            from .tables import cluster_for_write
+
+            df = cluster_for_write(df, partition_by, cluster_by, cluster_files)
+        writer = df.writeTo(self.ident)
+        for k, v in (meta or {}).items():
+            writer = writer.tableProperty(f"engine.meta.{k}", str(v))
+        writer.overwritePartitions()
         return self.current_snapshot_id()
 
     def read(self, spark=None, **_):

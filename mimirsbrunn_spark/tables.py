@@ -268,8 +268,17 @@ class SnapshotTable:
         the data write happens first, the manifest swap is a single
         os.replace. Used by retention's straddling-partition rewrite and the
         incremental tier refresh."""
-        values = set(values)
+        values = {str(v) for v in values}
         new = self._write_fileset(df, partition_by, stats_cols, cluster_by, cluster_files)
+        # Every written row must belong to a replaced partition — a df with
+        # stray rows would append them while their partitions' old files are
+        # kept, silently double-counting inside one "atomic" snapshot.
+        stray = {v for v in new["partitions"].values() if v not in values}
+        if stray:
+            raise ValueError(
+                f"replace_partitions: df contains rows for partitions not in "
+                f"the replaced set: {sorted(stray)[:5]} (replacing {sorted(values)[:5]})"
+            )
         with self._lock():
             parent = self.current_snapshot_id()
             if parent is not None:

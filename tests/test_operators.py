@@ -755,21 +755,24 @@ def test_scrub_pii_crafted_cases(spark):
     from mimirsbrunn_spark.operators.text import pii_counts, scrub_pii
 
     cases = [
-        # (input, expected_clean, n_email, n_ip, n_phone)
-        ("mail a.b+c_d%e@sub.domain.org now", "mail <EMAIL> now", 1, 0, 0),
-        ("server at 192.168.0.255 and 10.0.0.1.", "server at <IP> and <IP>.", 0, 2, 0),
-        ("999.999.999.999 is not an IP", "999.999.999.999 is not an IP", 0, 0, 0),
-        ("call +1 (415) 555-0199 today", "call <PHONE> today", 0, 0, 1),
-        ("v1.2.3 release; price +5", "v1.2.3 release; price +5", 0, 0, 0),
-        ("a@b.co 1.2.3.4 +44 20 7946 0958", "<EMAIL> <IP> <PHONE>", 1, 1, 1),
-        ("", "", 0, 0, 0),
+        # (input, expected_clean, n_email, n_ip, n_phone, n_paren, n_sep)
+        ("mail a.b+c_d%e@sub.domain.org now", "mail <EMAIL> now", 1, 0, 0, 0, 0),
+        ("server at 192.168.0.255 and 10.0.0.1.", "server at <IP> and <IP>.", 0, 2, 0, 0, 0),
+        ("999.999.999.999 is not an IP", "999.999.999.999 is not an IP", 0, 0, 0, 0, 0),
+        ("call +1 (415) 555-0199 today", "call <PHONE> today", 0, 0, 1, 0, 0),
+        ("call (415) 555-0199 today", "call <PHONE> today", 0, 0, 0, 1, 0),
+        ("fax 415-555-0199 or 415.555.0199", "fax <PHONE> or <PHONE>", 0, 0, 0, 0, 2),
+        ("v1.2.3 release; price +5", "v1.2.3 release; price +5", 0, 0, 0, 0, 0),
+        ("date 2024-01-01 is not a phone", "date 2024-01-01 is not a phone", 0, 0, 0, 0, 0),
+        ("a@b.co 1.2.3.4 +44 20 7946 0958", "<EMAIL> <IP> <PHONE>", 1, 1, 1, 0, 0),
+        ("", "", 0, 0, 0, 0, 0),
     ]
     df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i int, t string")
     got = {
-        r.i: (r.clean, r.n_email, r.n_ipv4, r.n_phone)
+        r.i: (r.clean, r.n_email, r.n_ipv4, r.n_phone, r.n_phone_paren, r.n_phone_sep)
         for r in df.select(
             "i", scrub_pii(F.col("t")).alias("clean"), *pii_counts(F.col("t"))
         ).collect()
     }
-    for i, (_, clean, ne, ni, np_) in enumerate(cases):
-        assert got[i] == (clean, ne, ni, np_), (i, got[i])
+    for i, (_, *exp) in enumerate(cases):
+        assert got[i] == tuple(exp), (i, got[i])
