@@ -359,6 +359,52 @@ def test_full_rebuild_preserves_tier_history_after_retention(
     )
 
 
+def test_rebuild_preserves_coarse_tiers_beyond_1h_retention(
+    spark, small_pages_pdf, tmp_path
+):
+    """The cascade-level preservation: with BOTH 1m and 1h retention
+    trimming their tiers, a forced full rebuild must keep the 1d/30d rows
+    older than the 1h window (a rebuild from the trimmed 1h alone would
+    erase them — the fixture's oldest days survive only in 1d/30d)."""
+    from mimirsbrunn_spark.config import EngineConfig
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    p = str(tmp_path / "p")
+    small_pages_pdf.to_parquet(p)
+    out = str(tmp_path / "out")
+    cfg = EngineConfig.load(
+        retention={"1m": int(1.5 * 86400), "1h": int(2.5 * 86400)}, cluster_files=2
+    )
+    max_ts = int(small_pages_pdf["warc_ts"].max().timestamp())
+    run_rollup_job(spark, p, out, job_id="c1", config=cfg, retention_now_epoch=max_ts)
+
+    h_tbl = SnapshotTable(f"{out}/rollup_1h")
+    d_tbl = SnapshotTable(f"{out}/rollup_1d")
+    def snap_rows(tbl):
+        return {
+            (r.host, r.sec, r.lang): (r.doc_count, r.bytes_sum)
+            for r in tbl.read(spark)
+            .select(
+                "host", F.col("bucket_ts").cast("long").alias("sec"), "lang",
+                "doc_count", "bytes_sum",
+            )
+            .collect()
+        }
+
+    h_min = h_tbl.read(spark).agg(F.min(F.col("bucket_ts").cast("long"))).first()[0]
+    d_before = snap_rows(d_tbl)
+    older = {k for k in d_before if k[1] < h_min}
+    assert older, "fixture must have 1d rows older than the trimmed 1h window"
+
+    d_tbl.update_meta({"series_snapshot": None})  # force the rebuild path
+    run_rollup_job(spark, p, out, job_id="c2", config=cfg)
+    m = SnapshotTable(f"{out}/metrics").read(spark)
+    assert m.filter("job_id = 'c2' and stage = 'derived'").count() > 0
+    assert snap_rows(d_tbl) == d_before, (
+        "1d history beyond the 1h window was lost or changed"
+    )
+
+
 def test_maintenance_then_rollup_is_not_destructive(spark, small_pages_pdf, tmp_path):
     """The full operational cycle — rollup with retention, maintenance
     (compaction + vacuum), rollup again — must not erase coarse-tier
