@@ -131,7 +131,13 @@ def _swap_partitions(tbl, df, values, **commit_kw) -> None:
     if hasattr(tbl, "replace_partitions"):
         tbl.replace_partitions(df, values, **commit_kw)
     else:
-        tbl.drop_partition_values(values, meta=commit_kw.get("meta"))
+        # the DROP commit must NOT carry the series_snapshot marker: a crash
+        # before the append would otherwise leave a hole that reads as
+        # in-sync forever — marker-free, the next run safely rebuilds
+        drop_meta = {
+            k: v for k, v in (commit_kw.get("meta") or {}).items() if k != "series_snapshot"
+        }
+        tbl.drop_partition_values(values, meta=drop_meta)
         tbl.commit(df, mode="append", **commit_kw)
 
 
@@ -427,15 +433,19 @@ def run_rollup_job(
         try:
             s_snap = series_tbl.snapshot(series_tbl.current_snapshot_id())
             s_days = sorted({v for v in s_snap.partitions.values() if v})
-            series_min_epoch = (
-                int(
+            if s_days:
+                series_min_epoch = int(
                     _dt.datetime.fromisoformat(s_days[0])
                     .replace(tzinfo=_dt.timezone.utc)
                     .timestamp()
                 )
-                if s_days
-                else _NOTHING_COVERED
-            )
+            elif not s_snap.files:
+                series_min_epoch = _NOTHING_COVERED  # truly empty series
+            else:
+                # legacy UNPARTITIONED files hold data the manifest can't
+                # bound — the sentinel would discard all of it from the
+                # rebuild; fall back to the plain full rebuild instead
+                series_min_epoch = None
         except (AttributeError, FileNotFoundError):
             pass  # backend without manifest introspection → plain rebuild
         prev_full = None
@@ -473,8 +483,10 @@ def run_rollup_job(
             # next tier's coverage starts at THIS tier's oldest surviving
             # instant (one tiny driver agg over the rolled-up tier — the
             # rebuild path is rare and the tier is retention-bounded)
-            row = prev_full.agg(F.min(F.col("bucket_ts").cast("long"))).first()
-            if src_min is not None:
+            if src_min is not None and tier != "30d":
+                # (guarded: a dead agg job on the plain-rebuild path and on
+                # the last tier would be pure waste)
+                row = prev_full.agg(F.min(F.col("bucket_ts").cast("long"))).first()
                 # empty tier content ⇒ the next tier can rebuild nothing
                 src_min = row[0] if row and row[0] is not None else _NOTHING_COVERED
             hs = tiers.host_series(prev_full)

@@ -174,20 +174,24 @@ def compact(spark: SparkSession, table: SnapshotTable, target_files: int = 8) ->
     into a full scan the first time maintenance runs."""
     snap = table.snapshot(table.current_snapshot_id())
     lay = snap.layout
-    # Carry the OPERATIONAL markers forward (whitelist, not a blanket copy):
-    # series_snapshot (derived-stage sync; losing it forces a full rebuild
-    # from the retention-truncated series), host_buckets/month_split
-    # (read_chunks composite-key pruning), tier/partition_fmt and the aux
-    # jobs' serve parameters. Commit-TYPE flags (dropped_below /
-    # dropped_values / replaced_values / retention_cutoff) must NOT be
-    # copied: _derived_in_sync classifies snapshots by them, and a
-    # compaction snapshot wearing a stale 'dropped_below' would be
-    # misread as a retention-only partition drop.
-    _KEEP = (
-        "tier", "partition_fmt", "series_snapshot",
-        "host_buckets", "month_split", "lgk", "n", "slack",
+    # Carry the snapshot meta forward MINUS the commit-TYPE flags: the
+    # engine reads operational markers back from meta — series_snapshot
+    # (derived-stage sync), host_buckets/month_split (read_chunks pruning),
+    # similarity-index keys (dim/n_planes/seed/centroids), streaming's
+    # stream_batch exactly-once marker — and compact() runs generically
+    # over EVERY table under out_dir, so an allowlist would strip markers
+    # of tables it doesn't know about (KeyError on the next indexed-ANN
+    # read; doubled rows on a streaming replay after vacuum). Only the
+    # flags that describe WHAT KIND of commit a snapshot was are dropped:
+    # _derived_in_sync classifies snapshots by them, and a compaction
+    # snapshot wearing a stale 'dropped_below' would be misread as a
+    # retention-only partition drop.
+    _COMMIT_FLAGS = (
+        "dropped_below", "dropped_values", "replaced_values",
+        "retention_cutoff", "refresh", "refreshed", "days", "months",
+        "resume_overwrite", "partition",
     )
-    meta = {k: v for k, v in snap.meta.items() if k in _KEEP}
+    meta = {k: v for k, v in snap.meta.items() if k not in _COMMIT_FLAGS}
     meta["compaction"] = True
     if lay.get("partition_by") or lay.get("cluster_by"):
         df = table.read(spark)

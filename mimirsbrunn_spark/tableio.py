@@ -137,21 +137,27 @@ class IcebergTable:
         cluster_by=(),
         cluster_files=None,
     ):
-        """Atomic partition overwrite via Iceberg's DYNAMIC overwrite
-        (``overwritePartitions`` — replaces exactly the partitions the
-        written rows touch, one snapshot). ``values`` is advisory here: the
-        caller guarantees df's rows cover those partitions (SnapshotTable
-        enforces it; Iceberg's dynamic mode derives the set from the data
-        itself, which is the same contract)."""
+        """Atomic partition overwrite via Iceberg's filter overwrite
+        (``overwrite(condition)`` — one snapshot that deletes every row
+        whose partition value is in ``values`` AND appends df). NOT dynamic
+        ``overwritePartitions``: dynamic mode only touches partitions
+        present in df, so a listed partition receiving zero rows would keep
+        its stale data — diverging from SnapshotTable.replace_partitions,
+        which clears every listed partition."""
         assert self.exists(), "replace_partitions needs an existing table"
+        col = partition_by or self.partition_col
+        if col is None:
+            raise ValueError("replace_partitions needs a partition column")
         if cluster_by and isinstance(df, DataFrame):
             from .tables import cluster_for_write
 
-            df = cluster_for_write(df, partition_by, cluster_by, cluster_files)
+            df = cluster_for_write(df, col, cluster_by, cluster_files)
         writer = df.writeTo(self.ident)
         for k, v in (meta or {}).items():
             writer = writer.tableProperty(f"engine.meta.{k}", str(v))
-        writer.overwritePartitions()
+        from pyspark.sql import functions as F
+
+        writer.overwrite(F.col(col).cast("string").isin(sorted(values)))
         return self.current_snapshot_id()
 
     def read(self, spark=None, **_):
