@@ -675,6 +675,7 @@ def rel_queries() -> dict:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "search_scored": q_search_scored,
+        "search_fuzzy": q_search_fuzzy,
     }
 
 
@@ -702,6 +703,7 @@ def rel_oracle_sql() -> dict:
         "asof_join": SQL_ASOF_JOIN,
         "sessionize": SQL_SESSIONIZE,
         "search_scored": SQL_SEARCH_SCORED,
+        "search_fuzzy": SQL_SEARCH_FUZZY,
     }
 
 # --- O3: natural ("human") sort — "line 3" < "line 11"
@@ -731,84 +733,128 @@ ORDER BY rank LIMIT 200
 
 # --- §2.9: the composed scored-search entry point (search.py — build_query,
 #     /root/reference/libs/bragi/src/query.rs:175-462 + two-pass fallback
-#     query.rs:667-714). Pins: 4-token query (msm required=2), doc-type
-#     whitelist, per-type boosts × log1p(field_value_factor) importance,
-#     match-ratio should term, coverage semi-join vs lineitem, offset+limit
-#     paging on the ROUNDED score (cross-engine-stable ordering). ------------
+#     query.rs:667-714). TWO parameterizations, both NON-EMPTY at sf0.01
+#     (pins chosen against the synthetic part vocabulary — 2-word names
+#     drawn from {small,hot,red,blue,large,old,cold,new} × {widget,gear,
+#     plate,bolt,ring,rod,gizmo,...}):
+#       search_scored  pass-1 path: 2-token query that IS a label prefix
+#                      ("red widget" → 24 whitelisted docs at sf0.01),
+#                      doc-type whitelist, per-type boosts ×
+#                      log1p(field_value_factor) importance, match-ratio
+#                      should term, coverage semi-join vs lineitem,
+#                      offset+limit paging on the ROUNDED score.
+#       search_fuzzy   pass-2 path: 3-token query whose prefix matches
+#                      nothing ("red widget purple" — 'purple' absent from
+#                      the vocabulary) but whose msm ladder (n=3 →
+#                      required=2) admits every red+widget doc (37 at
+#                      sf0.01) — the fuzzy fallback returns a real page. --
 
-SEARCH_QUERY = "spring green yellow puff"
-SEARCH_TYPES = ["Brand#11", "Brand#12", "Brand#13", "Brand#21", "Brand#22"]
+SEARCH_QUERY = "red widget"
+SEARCH_TYPES = [
+    "Brand#1", "Brand#2", "Brand#10", "Brand#15",
+    "Brand#16", "Brand#17", "Brand#21", "Brand#25",
+]
 SEARCH_TYPE_WEIGHTS = {
-    "Brand#11": 2.0,
-    "Brand#12": 1.5,
-    "Brand#13": 1.2,
-    "Brand#21": 1.0,
-    "Brand#22": 0.8,
+    "Brand#1": 2.0,
+    "Brand#2": 1.5,
+    "Brand#10": 1.2,
+    "Brand#15": 1.0,
+    "Brand#16": 0.8,
+    "Brand#17": 0.6,
+    "Brand#21": 0.4,
+    "Brand#25": 0.2,
 }
+SEARCH_FUZZY_QUERY = "red widget purple"
 
 
-def q_search_scored(spark, sf_dir):
-    from .search import SearchParams, search
-
-    p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
-    docs = p.select(
-        F.col("p_partkey").alias("id"),
-        F.col("p_name").alias("label"),
-        F.col("p_brand").alias("doc_type"),
-        F.col("p_retailprice").alias("weight"),
-    )
-    params = SearchParams(
-        query=SEARCH_QUERY,
-        types=SEARCH_TYPES,
-        type_weights=SEARCH_TYPE_WEIGHTS,
-        weight_factor=0.001,
-        weight_missing=0.0,
-        weight_modifier="log1p",
-        match_boost=0.5,
-        offset=5,
-        limit=50,
-    )
-    return search(
-        docs,
-        params,
-        coverage=li.select(F.col("l_partkey").alias("id")),
-        coverage_on="id",
-    )
+def _msm_required_py(n: int) -> int:
+    """Python mirror of functions.scoring.msm_required (the G10 ladder) —
+    used only to pin the oracle SQL's required-match constant."""
+    if n <= 1:
+        return n
+    if n <= 3:
+        return n - 1
+    if n <= 9:
+        return n - 2
+    if n <= 20:
+        return n - 4
+    return int(n * 0.25)
 
 
-_SEARCH_TW_SQL = " ".join(
-    f"WHEN '{t}' THEN {w}" for t, w in SEARCH_TYPE_WEIGHTS.items()
-)
-_SEARCH_TOKENS_SQL = ", ".join(f"'{t}'" for t in SEARCH_QUERY.split())
+def _q_search(query: str, types, type_weights, offset: int, limit: int):
+    def run(spark, sf_dir):
+        from .search import SearchParams, search
 
-SQL_SEARCH_SCORED = f"""
+        p = _t(spark, sf_dir, "part")
+        li = _t(spark, sf_dir, "lineitem")
+        docs = p.select(
+            F.col("p_partkey").alias("id"),
+            F.col("p_name").alias("label"),
+            F.col("p_brand").alias("doc_type"),
+            F.col("p_retailprice").alias("weight"),
+        )
+        params = SearchParams(
+            query=query,
+            types=types,
+            type_weights=dict(type_weights),
+            weight_factor=0.001,
+            weight_missing=0.0,
+            weight_modifier="log1p",
+            match_boost=0.5,
+            offset=offset,
+            limit=limit,
+        )
+        return search(
+            docs,
+            params,
+            coverage=li.select(F.col("l_partkey").alias("id")),
+            coverage_on="id",
+        )
+
+    return run
+
+
+def _search_sql(query: str, types, type_weights, offset: int, limit: int) -> str:
+    toks = query.split()
+    n = len(toks)
+    required = _msm_required_py(n)
+    tw_sql = " ".join(f"WHEN '{t}' THEN {w}" for t, w in type_weights.items())
+    tokens_sql = ", ".join(f"'{t}'" for t in toks)
+    types_sql = ", ".join("'%s'" % t for t in (types or ()))
+    type_filter = f"p_brand IN ({types_sql}) AND " if types else ""
+    return f"""
 WITH docs AS (
   SELECT p_partkey AS id, p_name AS label, p_brand AS doc_type, p_retailprice AS weight
   FROM part
-  WHERE p_brand IN ({", ".join(f"'{t}'" for t in SEARCH_TYPES)})
-    AND p_partkey IN (SELECT l_partkey FROM lineitem)
+  WHERE {type_filter}p_partkey IN (SELECT l_partkey FROM lineitem)
 ),
 scored AS (
   SELECT id, label, doc_type,
-         ROUND((CASE doc_type {_SEARCH_TW_SQL} ELSE 0.0 END)
+         ROUND((CASE doc_type {tw_sql} ELSE 0.0 END)
                  * ln(1 + COALESCE(weight, 0.0) * 0.001)
-               + 0.5 * (CAST(len(list_filter([{_SEARCH_TOKENS_SQL}],
-                         t -> list_contains(string_split(label, ' '), t))) AS DOUBLE) / 4.0),
+               + 0.5 * (CAST(len(list_filter([{tokens_sql}],
+                         t -> list_contains(string_split(label, ' '), t))) AS DOUBLE) / {n}.0),
                6) AS score_r,
-         CAST(len(list_filter([{_SEARCH_TOKENS_SQL}],
+         CAST(len(list_filter([{tokens_sql}],
               t -> list_contains(string_split(label, ' '), t))) AS BIGINT) AS ov
   FROM docs
 ),
 p1 AS (
   SELECT id, label, doc_type, score_r, 1 AS pass_no
-  FROM scored WHERE label LIKE '{SEARCH_QUERY}%'
+  FROM scored WHERE label LIKE '{query}%'
 ),
 p2 AS (
   SELECT id, label, doc_type, score_r, 2 AS pass_no
-  FROM scored WHERE ov >= 2 AND NOT EXISTS (SELECT 1 FROM p1)
+  FROM scored WHERE ov >= {required} AND NOT EXISTS (SELECT 1 FROM p1)
 )
 SELECT id, label, doc_type, score_r, pass_no
 FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
-ORDER BY score_r DESC, id ASC LIMIT 50 OFFSET 5
+ORDER BY score_r DESC, id ASC LIMIT {limit} OFFSET {offset}
 """
+
+
+q_search_scored = _q_search(SEARCH_QUERY, SEARCH_TYPES, SEARCH_TYPE_WEIGHTS, 5, 10)
+q_search_fuzzy = _q_search(SEARCH_FUZZY_QUERY, None, SEARCH_TYPE_WEIGHTS, 0, 25)
+
+SQL_SEARCH_SCORED = _search_sql(SEARCH_QUERY, SEARCH_TYPES, SEARCH_TYPE_WEIGHTS, 5, 10)
+SQL_SEARCH_FUZZY = _search_sql(SEARCH_FUZZY_QUERY, None, SEARCH_TYPE_WEIGHTS, 0, 25)

@@ -20,8 +20,18 @@ prefix→fuzzy fallback of ``search_documents`` (query.rs:667-714):
 
 Plan shape: everything is column math over one scan — the coverage
 semi-join is the only join (LeftSemi, broadcastable when the coverage set
-is small); the two passes are Catalyst-planned independently, and the
-driver-side fallback mirrors the reference's sequential two-request flow.
+is small). Two execution modes:
+
+  single_pass (default)  ONE Spark plan / ONE action: both pass predicates
+              are computed as flags on the scored rows, a 1-row aggregate
+              (any pass-1 hit?) is broadcast-cross-joined back, and the
+              filter keeps pass-1 rows iff any exist, else pass-2 rows.
+              Constructing the DataFrame triggers NO job — the fallback
+              decision rides inside the plan, not the driver.
+  two_action  the reference's literal sequential two-request flow
+              (query.rs:667-714): probe pass 1 with limit(1).count(), fall
+              back to the fuzzy pass driver-side. Kept for parity tests.
+
 Scores are rounded to 6 decimals BEFORE ordering so paging is deterministic
 cross-engine (libm/JVM last-ulp slack never reorders a page).
 """
@@ -73,12 +83,15 @@ def search(
     coverage: DataFrame | None = None,
     coverage_on: str | None = None,
     predicate=None,
+    mode: str = "single_pass",
 ) -> DataFrame:
     """Run the composed search over ``docs``. ``coverage`` restricts results
     to ids present in it (semi-join on ``coverage_on``, which must name a
     column of both sides); ``predicate`` is an arbitrary extra Column filter
     (the geoshape scope hook). Returns (id, label, doc_type, score_r, pass)
     ordered for paging."""
+    if mode not in ("single_pass", "two_action"):
+        raise ValueError(f"unknown search mode {mode!r}")
     tokens = params.query.split()
     n = len(tokens)
     qt = F.array(*[F.lit(t) for t in tokens])
@@ -107,15 +120,44 @@ def search(
         )
         return scored
 
-    # pass 1: strict prefix match on the label (the reference's exact-match
-    # first request). Driver-side fallback control flow, like the reference's
-    # sequential requests — limit(1) keeps the probe cheap.
-    pass1 = base.filter(F.col(label_col).startswith(params.query))
-    if pass1.limit(1).count() > 0:
-        out = shape(pass1, 1)
+    if mode == "single_pass":
+        # both pass predicates become flags on the scored candidates; a
+        # 1-row aggregate (did ANY candidate pass the strict prefix?) is
+        # broadcast back and the filter picks the pass inside the plan —
+        # no driver-side probe action, one Spark job end-to-end
+        scored = base.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("label"),
+            F.col(type_col).alias("doc_type"),
+            F.round(_score(params, F.col(type_col), F.col(weight_col), overlap, n), 6).alias(
+                "score_r"
+            ),
+            F.col(label_col).startswith(params.query).alias("_p1"),
+            (overlap >= msm_required(F.lit(n))).alias("_p2"),
+        )
+        any_p1 = scored.agg(F.max(F.col("_p1").cast("int")).alias("_any_p1"))
+        out = (
+            scored.crossJoin(F.broadcast(any_p1))
+            .filter(
+                ((F.col("_any_p1") == 1) & F.col("_p1"))
+                | ((F.col("_any_p1") == 0) & F.col("_p2"))
+            )
+            .withColumn(
+                "pass_no", F.when(F.col("_any_p1") == 1, F.lit(1)).otherwise(F.lit(2))
+            )
+            .drop("_p1", "_p2", "_any_p1")
+        )
     else:
-        # pass 2: fuzzy — minimum_should_match ladder over token clauses
-        out = shape(base.filter(overlap >= msm_required(F.lit(n))), 2)
+        # pass 1: strict prefix match on the label (the reference's
+        # exact-match first request). Driver-side fallback control flow,
+        # like the reference's sequential requests — limit(1) keeps the
+        # probe cheap.
+        pass1 = base.filter(F.col(label_col).startswith(params.query))
+        if pass1.limit(1).count() > 0:
+            out = shape(pass1, 1)
+        else:
+            # pass 2: fuzzy — minimum_should_match ladder over token clauses
+            out = shape(base.filter(overlap >= msm_required(F.lit(n))), 2)
 
     out = out.orderBy(F.desc("score_r"), F.asc("id"))
     if params.offset:
