@@ -108,7 +108,12 @@ def _derived_in_sync(tbl, series_tbl, series_sid) -> bool:
         sid = series_sid
         while sid is not None and sid != rec:
             s = series_tbl.snapshot(sid)
-            if "dropped_below" not in s.meta:  # not a retention partition drop
+            # retention partition drops don't add data; compaction snapshots
+            # are data-identical by construction (same rows, fewer files) —
+            # both leave the derived tables a (super)set of the series, so
+            # neither invalidates them. Anything else (appends, refreshes,
+            # resumes) is a real data change → stale.
+            if "dropped_below" not in s.meta and not s.meta.get("compaction"):
                 return False
             sid = s.parent_id
         return sid == rec
@@ -466,6 +471,31 @@ def run_rollup_job(
                 floor_b = -(-src_min // step) * step
                 sec = F.col("bucket_ts").cast("long")
                 old = tbl.read(spark).select(*fresh.columns).filter(sec < floor_b)
+                # the preserved span must ABUT the rebuilt span: if the
+                # surviving series starts well after the old tier's last
+                # bucket (long idle gap + partial expiry), the buckets in
+                # between silently vanish and coarser tiers aggregate across
+                # the hole with no signal. Detect and surface it as a metric
+                # so operators can see non-contiguous preserved coverage.
+                # (One tiny driver agg over the retention-bounded tier, on
+                # the rare rebuild path only.)
+                old_max_row = old.agg(F.max(sec)).first()
+                old_max = old_max_row[0] if old_max_row else None
+                # (sentinel src_min = nothing covered: the tier preserves
+                # everything and rebuilds nothing — no stitch, no gap)
+                if (
+                    old_max is not None
+                    and old_max + step < floor_b
+                    and src_min != _NOTHING_COVERED
+                ):
+                    metrics.record(
+                        spark, job_id, stage="derived_rebuild",
+                        kv={
+                            f"rebuild_gap_seconds_{tier}": float(
+                                floor_b - (old_max + step)
+                            )
+                        },
+                    )
                 fresh = old.unionByName(fresh.filter(sec >= floor_b))
             tbl.commit(
                 fresh.withColumn("pkey", tiers.partition_key_col(tier)),

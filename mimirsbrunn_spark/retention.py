@@ -110,10 +110,33 @@ def expire_tier(
     if expired == 0:
         return 0
     kept = df.filter(F.col("bucket_ts").cast("long") >= cutoff)
+    # The full-rewrite fallback must not FLATTEN a table that still carries
+    # per-file partition values (legacy pre-layout manifests record values
+    # with layout == {}; the mixed-table guard above lands here too): a
+    # replace-commit without partition_by zeroes every partition value while
+    # keep_meta's series_snapshot marker keeps the table "in sync", so the
+    # next run's incremental refresh replace_partitions would KEEP all the
+    # ''-partition files (never in any replaced set) while appending fresh
+    # rows — silent duplication that the coarse tiers then double-count.
+    # Infer the partition column (the engine's tier layout always names it;
+    # legacy manifests still have the column in the data) and rewrite
+    # partitioned; when inference is impossible, strip the sync marker so
+    # the next run takes the history-preserving full rebuild instead.
+    has_part_values = any(v for v in snap.partitions.values())
+    pby = lay.get("partition_by")
+    if pby is None and has_part_values and "pkey" in df.columns:
+        pby = "pkey"
+    meta = {**keep_meta, "retention_cutoff": cutoff, "expired_rows": expired}
+    if pby is None and has_part_values:
+        meta.pop("series_snapshot", None)
     table.commit(
         kept,
         mode="replace",
-        meta={**keep_meta, "retention_cutoff": cutoff, "expired_rows": expired},
+        meta=meta,
+        partition_by=pby,
+        stats_cols=tuple(lay.get("stats_cols", ())),
+        cluster_by=tuple(lay.get("cluster_by", ())),
+        cluster_files=lay.get("cluster_files"),
     )
     return expired
 

@@ -155,8 +155,13 @@ class IcebergTable:
             # deletes only the listed partitions but appends ALL of df, so a
             # row outside `values` would double-count against its partition's
             # surviving files. One cheap take(1) on the df being written.
+            # NULL partition keys are strays too — `~isin` evaluates to NULL
+            # for them (three-valued logic) and would silently pass the
+            # guard, yet the overwrite condition below never deletes
+            # NULL-keyed rows, so they'd accumulate across every replace.
             stray = df.filter(
-                ~F.col(col).cast("string").isin(sorted(values))
+                (~F.col(col).cast("string").isin(sorted(values)))
+                | F.col(col).isNull()
             ).take(1)
             if stray:
                 raise ValueError(
@@ -176,7 +181,11 @@ class IcebergTable:
         # the IN-list literals to the column's type instead
         try:
             cond = F.col(col).isin(sorted(values))
-        except Exception:  # no active session (mock-driven unit tests)
+        except Exception:
+            # No active SparkContext — reachable ONLY from mock-driven unit
+            # tests (a real DataFrameWriterV2 cannot exist without a session,
+            # so a real .overwrite never receives this string). The string
+            # mirrors the Column so the mock log records the same predicate.
             cond = f"{col} IN ({', '.join(repr(str(v)) for v in sorted(values))})"
         writer.overwrite(cond)
         return self.current_snapshot_id()

@@ -223,6 +223,36 @@ class SnapshotTable:
         ``cluster_files`` pins the range-partition count (file count per
         write); None lets AQE right-size by advisory partition size."""
         assert mode in ("append", "replace")
+        # An append must preserve the table's DECLARED layout, not replace
+        # it with whatever this one call passed: an ad-hoc append with no
+        # layout args would otherwise publish layout {} — silently
+        # downgrading a clustered/partitioned serving table (no more
+        # manifest pruning, zone maps, or partitioned-retention fast path)
+        # the moment any side channel appends a batch. A call with NO
+        # explicit layout inherits the parent's (the new files are written
+        # conforming to it); a call with a CONFLICTING partition column is
+        # an error, not a silent respec.
+        if mode == "append":
+            cur = self.current_snapshot_id()
+            if cur is not None:
+                plh = self.snapshot(cur).layout or {}
+                explicit = (
+                    partition_by is not None
+                    or bool(stats_cols)
+                    or bool(cluster_by)
+                    or cluster_files is not None
+                )
+                if not explicit:
+                    partition_by = plh.get("partition_by")
+                    stats_cols = tuple(plh.get("stats_cols", ()) or ())
+                    cluster_by = tuple(plh.get("cluster_by", ()) or ())
+                    cluster_files = plh.get("cluster_files")
+                elif plh.get("partition_by") and partition_by != plh.get("partition_by"):
+                    raise ValueError(
+                        f"append partition_by={partition_by!r} conflicts with the "
+                        f"table's declared layout {plh.get('partition_by')!r} — "
+                        "replace the table to change its layout"
+                    )
         new = self._write_fileset(df, partition_by, stats_cols, cluster_by, cluster_files)
 
         # Commit under the table lock: the parent is re-read inside the

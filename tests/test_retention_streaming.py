@@ -204,6 +204,94 @@ def test_expire_tier_partitioned_is_metadata_only_and_keeps_layout(
     assert sets_after <= sets_before + 1
 
 
+def test_expire_tier_legacy_partitioned_manifest_not_flattened(
+    spark, small_pages_path, tmp_path
+):
+    """A LEGACY tier table (manifest records per-file partition values but
+    layout == {} — pre-layout manifests) must not be flattened by the
+    full-rewrite fallback while keeping the series_snapshot marker: the
+    flattened ''-partition files would survive every later
+    replace_partitions (never in any replaced set) while fresh rows are
+    appended — duplicated rows that coarse tiers double-count. The fallback
+    infers the partition column from the data and rewrites PARTITIONED."""
+    import json as _json
+
+    pages = spark.read.parquet(small_pages_path)
+    hourly = tiers.rollup(series.series_1m(pages), "1h").withColumn(
+        "pkey", tiers.partition_key_col("1h")
+    )
+    tbl = SnapshotTable(str(tmp_path / "t1h_legacy"))
+    tbl.commit(
+        hourly,
+        mode="replace",
+        meta={"tier": "1h", "series_snapshot": 42},
+        partition_by="pkey",
+    )
+    # simulate the pre-layout manifest: partition values recorded, layout {}
+    sid = tbl.current_snapshot_id()
+    with open(tbl._manifest_path(sid)) as fh:
+        m = _json.load(fh)
+    assert any(m["partitions"].values())
+    m["layout"] = {}
+    with open(tbl._manifest_path(sid), "w") as fh:
+        _json.dump(m, fh)
+
+    max_ts = hourly.agg(F.max(F.col("bucket_ts").cast("long"))).collect()[0][0]
+    expired = retention.expire_tier(
+        spark, tbl, "1h", now_epoch=max_ts, retention_seconds={"1h": 86400}
+    )
+    assert expired > 0
+    after = tbl.snapshot(tbl.current_snapshot_id())
+    # healed: every surviving file carries a real partition value, the
+    # layout declares the inferred column, and the sync marker survives
+    assert all(after.partitions.get(f) for f in after.files)
+    assert after.layout.get("partition_by") == "pkey"
+    assert after.meta.get("series_snapshot") == 42
+    cutoff = max_ts - 86400
+    assert tbl.read(spark).filter(F.col("bucket_ts").cast("long") < cutoff).count() == 0
+
+
+def test_expire_tier_uninferable_partition_drops_sync_marker(spark, tmp_path):
+    """When the fallback cannot infer a partition column (values recorded
+    but no pkey column in the data), it must flatten WITHOUT the
+    series_snapshot marker so the next run takes the history-preserving
+    full rebuild instead of a duplicating incremental refresh."""
+    import datetime as _dt
+    import json as _json
+
+    rows = [
+        (f"h{i}", _dt.datetime(2024, 1, 1 + d, tzinfo=_dt.timezone.utc), float(i))
+        for i in range(4)
+        for d in range(6)
+    ]
+    df = spark.createDataFrame(rows, "host string, bucket_ts timestamp, v double").withColumn(
+        "oddkey", F.date_format("bucket_ts", "yyyy-MM-dd")
+    )
+    tbl = SnapshotTable(str(tmp_path / "todd"))
+    tbl.commit(df, mode="replace", meta={"series_snapshot": 7}, partition_by="oddkey")
+    sid = tbl.current_snapshot_id()
+    with open(tbl._manifest_path(sid)) as fh:
+        m = _json.load(fh)
+    m["layout"] = {}
+    with open(tbl._manifest_path(sid), "w") as fh:
+        _json.dump(m, fh)
+    # drop the column the values came from: inference is now impossible
+    tbl2 = SnapshotTable(tbl.path)
+
+    class _NoKey(SnapshotTable):
+        def read(self, spark_, **kw):
+            return super().read(spark_, **kw).drop("oddkey")
+
+    tbl2 = _NoKey(tbl.path)
+    max_ts = int(_dt.datetime(2024, 1, 6, tzinfo=_dt.timezone.utc).timestamp())
+    expired = retention.expire_tier(
+        spark, tbl2, "1h", now_epoch=max_ts, retention_seconds={"1h": 2 * 86400}
+    )
+    assert expired > 0
+    after = tbl2.snapshot(tbl2.current_snapshot_id())
+    assert "series_snapshot" not in after.meta
+
+
 def test_retention_then_incremental_refresh_keeps_tier_history(
     spark, small_pages_pdf, tmp_path
 ):
@@ -405,6 +493,53 @@ def test_rebuild_preserves_coarse_tiers_beyond_1h_retention(
     )
 
 
+def test_rebuild_gap_is_surfaced_as_metric(spark, small_pages_pdf, tmp_path):
+    """When the surviving series starts well AFTER the old tier's last
+    preserved bucket (long idle gap + series expiry), the history-preserving
+    rebuild stitches two non-contiguous spans; the hole must be surfaced as
+    a rebuild_gap_seconds metric so operators can see it (the data itself
+    is unrecoverable by design — the raw rows are gone)."""
+    from mimirsbrunn_spark.config import EngineConfig
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+    p = str(tmp_path / "p")
+    small_pages_pdf.to_parquet(p)
+    out = str(tmp_path / "out")
+    cfg = EngineConfig.load(cluster_files=2)
+    run_rollup_job(spark, p, out, job_id="g1", config=cfg)
+
+    # simulate the idle gap: new series data lands 10 days later, then 1m
+    # retention expires everything before it
+    srs = SnapshotTable(f"{out}/series_1m")
+    shift = 10 * 86400
+    moved = (
+        srs.read(spark)
+        .limit(50)
+        .withColumn("bucket_ts", (F.col("bucket_ts").cast("long") + shift).cast("timestamp"))
+        .withColumn("day", F.to_date("bucket_ts"))
+    )
+    srs.commit(moved, mode="append", partition_by="day")
+    now = int(small_pages_pdf["warc_ts"].max().timestamp()) + shift
+    assert (
+        retention.expire_tier(spark, srs, "1m", now_epoch=now, retention_seconds={"1m": 6 * 86400})
+        > 0
+    )
+
+    # the append made the derived tables stale → rebuild path on the next run
+    run_rollup_job(spark, p, out, job_id="g2", config=cfg)
+    m = SnapshotTable(f"{out}/metrics").read(spark)
+    gaps = m.filter("job_id = 'g2' AND stage = 'derived_rebuild'").filter(
+        F.col("key").startswith("rebuild_gap_seconds")
+    )
+    rows = gaps.collect()
+    assert rows, "non-contiguous preserved coverage produced no gap metric"
+    assert all(r.value > 0 for r in rows)
+    # the preserved history itself is intact on both sides of the hole
+    h = SnapshotTable(f"{out}/rollup_1h").read(spark)
+    secs = [r[0] for r in h.select(F.col("bucket_ts").cast("long")).collect()]
+    assert min(secs) < now - shift and max(secs) >= now - 6 * 86400
+
+
 def test_maintenance_then_rollup_is_not_destructive(spark, small_pages_pdf, tmp_path):
     """The full operational cycle — rollup with retention, maintenance
     (compaction + vacuum), rollup again — must not erase coarse-tier
@@ -431,6 +566,32 @@ def test_maintenance_then_rollup_is_not_destructive(spark, small_pages_pdf, tmp_
     assert h_tbl.read(spark).count() == n_before, (
         "tier history changed across idle maintenance/retention cycles"
     )
+
+
+def test_series_compaction_keeps_derived_in_sync(spark, tmp_path):
+    """compact() on the 1m series table must NOT make every derived table
+    look stale: a compaction snapshot is data-identical by construction, so
+    the sync walk skips it like a retention drop. Without this, each
+    --maintain run forces a full (history-preserving but expensive) rebuild
+    of every tier on the next rollup."""
+    from mimirsbrunn_spark.jobs.rollup_job import _derived_in_sync
+
+    srs = SnapshotTable(str(tmp_path / "series"))
+    for i in range(3):
+        srs.commit(spark.range(i * 5, (i + 1) * 5).toDF("id"), mode="append")
+    sid1 = srs.current_snapshot_id()
+    derived = SnapshotTable(str(tmp_path / "tier"))
+    derived.commit(spark.range(3).toDF("id"), mode="replace", meta={"series_snapshot": sid1})
+    assert _derived_in_sync(derived, srs, sid1)
+
+    retention.compact(spark, srs, target_files=1)
+    sid2 = srs.current_snapshot_id()
+    assert sid2 != sid1
+    assert _derived_in_sync(derived, srs, sid2), "compaction misread as staleness"
+
+    # a real data change after the compaction IS stale
+    srs.commit(spark.range(100, 105).toDF("id"), mode="append")
+    assert not _derived_in_sync(derived, srs, srs.current_snapshot_id())
 
 
 def test_maintenance_job(spark, small_pages_path, tmp_path):

@@ -116,3 +116,40 @@ def test_snapshot_table_random_ops_vs_model(spark, tmp_path, seed):
     # time travel: every snapshot since the last vacuum replays its model
     for sid, rows in history:
         assert sorted((r.p, r.v) for r in tbl.read_at(spark, sid).collect()) == rows
+
+
+def test_append_inherits_declared_layout(spark, tmp_path):
+    """An append with no layout args must inherit the table's declared
+    layout (files written partitioned + stats'd, manifest layout unchanged)
+    rather than silently downgrading the table to layout {} — which would
+    disable manifest pruning, zone maps, and the partitioned-retention fast
+    path for every later read."""
+    import pytest
+
+    from mimirsbrunn_spark.tables import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame(
+        [("2024-01-01", "a", 1.0), ("2024-01-02", "b", 2.0)],
+        "pkey string, host string, v double",
+    )
+    tbl.commit(
+        df1, mode="replace", partition_by="pkey", stats_cols=("host",), cluster_by=("host",)
+    )
+    declared = tbl.snapshot(tbl.current_snapshot_id()).layout
+
+    df2 = spark.createDataFrame(
+        [("2024-01-03", "c", 3.0)], "pkey string, host string, v double"
+    )
+    tbl.commit(df2, mode="append")  # NO layout args
+    after = tbl.snapshot(tbl.current_snapshot_id())
+    assert after.layout == declared, "ad-hoc append rewrote the declared layout"
+    # the appended files conform: every file carries a real partition value
+    # and host zone maps
+    assert all(after.partitions.get(f) for f in after.files)
+    assert all("host" in after.file_stats.get(f, {}) for f in after.files)
+    assert tbl.read(spark).count() == 3
+
+    # conflicting partition column: loud error, not a silent respec
+    with pytest.raises(ValueError, match="conflicts with the table's declared layout"):
+        tbl.commit(df2.withColumnRenamed("pkey", "other"), mode="append", partition_by="other")

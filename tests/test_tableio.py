@@ -121,6 +121,44 @@ def test_iceberg_replace_partitions_filter_overwrite():
     assert not cond.lstrip("Column<'").upper().startswith("CAST")
 
 
+def test_iceberg_replace_partitions_null_key_is_stray(spark):
+    """A NULL partition key must trip the stray-row guard: `~isin` alone is
+    NULL (not true) for NULL keys, so without the explicit isNull() arm the
+    row would be appended while the overwrite condition (col IN values)
+    never deletes NULL-keyed rows — accumulating duplicates across every
+    replace."""
+    import pytest
+
+    fake = FakeSpark(exists=True)
+    t = IcebergTable(fake, "cat.db.rollup_1h", partition_col="pkey")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0), (None, 2.0)], "pkey string, v double"
+    )
+    with pytest.raises(ValueError, match="stray|not in the replaced"):
+        t.replace_partitions(df, {"2024-01-01"})
+    # all-listed rows still commit fine
+    ok = spark.createDataFrame([("2024-01-01", 1.0)], "pkey string, v double")
+
+    class _W:
+        def __init__(self):
+            self.log = []
+
+        def tableProperty(self, k, v):
+            return self
+
+        def overwrite(self, cond):
+            self.log.append(("overwrite", str(cond)))
+
+    w = _W()
+    orig = type(ok).writeTo
+    try:
+        type(ok).writeTo = lambda self, ident: w
+        t.replace_partitions(ok, {"2024-01-01"})
+    finally:
+        type(ok).writeTo = orig
+    assert any(c[0] == "overwrite" for c in w.log)
+
+
 def test_iceberg_create_when_missing():
     spark = FakeSpark(exists=False)
     t = IcebergTable(spark, "cat.db.t")
