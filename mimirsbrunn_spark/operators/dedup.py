@@ -313,14 +313,24 @@ def connected_components(
     propagation (the standard large-graph CC without GraphX/graphframes:
     each round every vertex takes the min label among itself and its
     neighbors; converges in O(graph diameter) rounds, which for dedup
-    clusters is tiny). Driver-side loop with a convergence check per round;
-    lineage is cut with localCheckpoint every ``checkpoint_every`` rounds
-    (iterative plans otherwise grow unboundedly).
+    clusters is tiny).
 
-    The convergence check is FOLDED into the label aggregation: each
-    vertex's own row carries its previous label through the union, so the
-    round's single groupBy emits both the new label (min) and the old one
-    (max of the non-null carrier) — no extra old-vs-new join per round.
+    Driver-side control flow costs ONE materializing action per
+    ``checkpoint_every``-round BATCH: intermediate rounds are planned
+    lazily (no action at all — their shuffles collapse into the batch's
+    single job), the batch boundary is an eager ``localCheckpoint`` (which
+    also cuts the otherwise unbounded iterative lineage), and the
+    convergence probe then runs limit(1) over the already-materialized
+    checkpoint partitions — near-free. The check is FOLDED into the label
+    aggregation itself: each vertex's own row carries its previous label
+    through the union, so the round's single groupBy emits both the new
+    label (min) and the old one (max of the non-null carrier) — no
+    old-vs-new join. Probing only the batch's LAST round is sound because
+    propagation is monotone: a round with zero changes is a fixpoint, and
+    a batch that crosses the fixpoint makes its trailing rounds no-ops, so
+    its last round always reports converged. At worst the batch runs
+    ``checkpoint_every - 1`` no-op rounds past the fixpoint — the price of
+    1/checkpoint_every as many jobs.
 
     Scale: each round is one shuffle keyed by vertex id over |V|+|E| rows —
     no collect; a 10^9-edge pair set runs the same plan."""
@@ -345,12 +355,17 @@ def connected_components(
             # every id has exactly one own row; max ignores the neighbor NULLs
             F.max("_old").alias("_old"),
         )
-        if (i + 1) % checkpoint_every == 0:
-            merged = merged.localCheckpoint(eager=True)
-        changed = merged.filter(F.col("component") != F.col("_old")).limit(1).count()
         labels = merged.drop("_old")
-        if changed == 0:
-            break
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            # batch boundary: the ONE materializing action, then a probe
+            # over the cached checkpoint partitions
+            merged = merged.localCheckpoint(eager=True)
+            labels = merged.drop("_old")
+            changed = (
+                merged.filter(F.col("component") != F.col("_old")).limit(1).count()
+            )
+            if changed == 0:
+                break
     return labels
 
 

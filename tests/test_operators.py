@@ -736,6 +736,48 @@ def test_connected_components_long_chain(spark):
     assert got == {i: 0 for i in range(16)}
 
 
+def test_connected_components_one_action_per_batch(spark):
+    """Driver-side control flow costs ONE materializing action (eager
+    localCheckpoint) + one cached-partition probe per checkpoint_every-round
+    BATCH — intermediate rounds trigger no action at all (VERDICT r3 item
+    7). Counted by instrumenting the two action entry points."""
+    from mimirsbrunn_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id_a long, id_b long"
+    )
+    # patch the CONCRETE class (pyspark.sql.DataFrame is the abstract
+    # parent in Spark 4; the classic implementation overrides count)
+    DataFrame = type(pairs)
+    counts = {"count": 0, "ckpt": 0}
+    orig_count, orig_ckpt = DataFrame.count, DataFrame.localCheckpoint
+
+    def _count(self):
+        counts["count"] += 1
+        return orig_count(self)
+
+    def _ckpt(self, eager=True):
+        counts["ckpt"] += 1
+        return orig_ckpt(self, eager=eager)
+
+    DataFrame.count, DataFrame.localCheckpoint = _count, _ckpt
+    try:
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                pairs, checkpoint_every=3, max_iter=20
+            ).collect()
+        }
+    finally:
+        DataFrame.count, DataFrame.localCheckpoint = orig_count, orig_ckpt
+    assert got == {i: 0 for i in range(8)}
+    # 8-vertex path converges in 7 rounds → probes at rounds 3, 6, 9 (zero
+    # changes at 9 → stop): 3 batches = 3 probes + 3 batch checkpoints
+    # (+1 for the edge-set checkpoint) — NOT one probe per round
+    assert counts["count"] == 3
+    assert counts["ckpt"] == 4
+
+
 def test_connected_components_two_clusters_unchanged(spark):
     """Same fixpoint as before the convergence-check fold."""
     from mimirsbrunn_spark.operators.dedup import connected_components
