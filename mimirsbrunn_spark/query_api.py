@@ -114,28 +114,52 @@ def read_plot(
     metric: str = "doc_count",
     n_px: int = 800,
     method: str = "m4",
+    points_per_px: int = 40,
 ) -> DataFrame:
     """Downsample-on-read for dashboards: pick the finest tier that keeps
-    the per-series point count near the renderer's budget (~40 raw points
-    per pixel so the downsampler has material), serve it with manifest
-    pruning (read_rollup), collapse langs to the host series, then reduce
-    to ~``n_px`` points per host — ``method='m4'`` (pixel-exact row set,
-    ≤4 rows/px) or ``'lttb'`` (perceptual, exactly n_px). Output: (host,
-    ts_sec, value[, bucket_ts_sec for m4]).
+    the per-series point count near the renderer's budget (~``points_per_px``
+    raw points per pixel so the downsampler has material), serve it with
+    manifest pruning (read_rollup), collapse langs to the host series, then
+    reduce to ~``n_px`` points per host — ``method='m4'`` (pixel-exact row
+    set, ≤4 rows/px) or ``'lttb'`` (perceptual, exactly n_px). Output:
+    (host, ts_sec, value[, bucket_ts_sec for m4]).
 
     Scale shape: everything up to the downsampler is the pruned tier read;
-    both downsamplers shuffle once on the series key. TimescaleDB analog:
-    the m4/lttb visualization hyperfunctions over continuous aggregates."""
+    both downsamplers shuffle once on the series key. The per-series rows
+    that reach the downsampler are HARD-bounded by the budget for ANY
+    [t0, t1): normally tier routing guarantees it, and when even the
+    coarsest tier exceeds the budget (century-scale ranges, where
+    pick_tier saturates) the series is pre-bucketed JVM-side to
+    span/budget first — the pandas LTTB stage can never be handed an
+    unbounded raw-tier series. TimescaleDB analog: the m4/lttb
+    visualization hyperfunctions over continuous aggregates."""
     from .operators.downsample import lttb_downsample, m4_downsample
 
     assert method in ("m4", "lttb")
-    tier = pick_tier(t0, t1, max_points=max(n_px * 40, n_px))
+    cap = max(n_px * points_per_px, n_px)
+    tier = pick_tier(t0, t1, max_points=cap)
     df = read_rollup(spark, out_dir, tier, t0=t0, t1=t1, hosts=hosts)
     hs = (
         df.groupBy("host", "bucket_ts")
         .agg(F.sum(metric).alias("value"))
         .select("host", F.col("bucket_ts").cast("long").alias("ts_sec"), "value")
     )
+    step = TIER_SECONDS[tier]
+    if (t1 - t0) // step > cap:
+        # pick_tier saturated at the coarsest tier and the range STILL
+        # exceeds the budget: coarsen to a step-aligned bucket of
+        # ~span/cap so per-series cardinality stays ≤ cap regardless of
+        # range (counts/bytes are sums, so re-summing is exact)
+        want = -(-(t1 - t0) // cap)  # ceil(span / cap)
+        coarse = max(-(-want // step), 1) * step  # ceil to a step multiple
+        # t0-aligned so the range spans at most cap buckets (epoch-aligned
+        # buckets could straddle cap + 1)
+        hs = hs.groupBy(
+            "host",
+            (F.col("ts_sec") - (F.col("ts_sec") - F.lit(t0)) % coarse).alias(
+                "ts_sec"
+            ),
+        ).agg(F.sum("value").alias("value"))
     if method == "m4":
         px_sec = max((t1 - t0) // max(n_px, 1), TIER_SECONDS[tier])
         return m4_downsample(hs, ["host"], bucket_sec=px_sec)
