@@ -114,6 +114,57 @@ def main() -> None:
     timings["pages_chunks_1h"] = timed(lambda: _force(codecs.encode_chunks(hs, "1h")), _name="pages_chunks_1h")
 
     shutil.rmtree(work, ignore_errors=True)
+
+    # group 3: the SERVING reads — the engine's product (VERDICT r3 item 8).
+    # Publish once per bench size (cached like the pages table: rollup_job →
+    # partitioned/zone-mapped serving tables + compressed chunks), then time
+    # the four read paths a dashboard/API tier actually issues. Reported in
+    # their own section (not in headline_total_sec, which is pinned to the
+    # round-1 composition for cross-round comparability).
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark import query_api
+    from mimirsbrunn_spark.tables import SnapshotTable
+
+    pub = f"/tmp/mimir_bench_cache/published_{bench_rows}"
+    if not SnapshotTable(f"{pub}/rollup_1h").exists():
+        from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+
+        run_rollup_job(spark, pages_path, pub, job_id="bench_publish")
+    srs = SnapshotTable(f"{pub}/series_1m").read(spark)
+    mn, mx = srs.agg(
+        F.min(F.col("bucket_ts").cast("long")), F.max(F.col("bucket_ts").cast("long"))
+    ).first()
+    hosts = [r[0] for r in srs.select("host").distinct().limit(3).collect()]
+    mid0 = mn + (mx - mn) // 4
+    mid1 = mn + 3 * (mx - mn) // 4
+
+    serving: dict[str, float] = {}
+    serving["read_rollup_1h_window"] = timed(
+        lambda: _force(
+            query_api.read_rollup(spark, pub, "1h", t0=mid0, t1=mid1, hosts=hosts)
+        ),
+        _name="read_rollup_1h_window",
+    )
+    serving["read_range_total_full"] = timed(
+        lambda: _force(query_api.read_range_total(spark, pub, mn, mx + 60)),
+        _name="read_range_total_full",
+    )
+    serving["read_realtime_1h"] = timed(
+        lambda: _force(query_api.read_realtime(spark, pub, "1h", pages)),
+        _name="read_realtime_1h",
+    )
+    serving["read_chunks_1h_hosts"] = timed(
+        lambda: _force(
+            query_api.read_chunks(spark, pub, "1h", t0=mid0, t1=mid1, hosts=hosts)
+        ),
+        _name="read_chunks_1h_hosts",
+    )
+    serving["read_plot_m4"] = timed(
+        lambda: _force(query_api.read_plot(spark, pub, mn, mx + 60, n_px=800)),
+        _name="read_plot_m4",
+    )
+
     pipeline_sec = timings["pages_series_1m"] + timings["pages_cascade"]
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -129,6 +180,7 @@ def main() -> None:
                 "bench_rows": n_docs,
                 "rollup_mdocs_per_sec": round(n_docs / pipeline_sec / 1e6, 4),
                 "cpus": cpus,
+                "serving": serving,
                 "spreads": spreads,
             }
         )

@@ -50,8 +50,14 @@ def value_hash(rows, columns) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:] or None
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1:] or None
 
     import __spark_entry__ as entry
     from mimirsbrunn_spark.session import get_spark
@@ -66,6 +72,7 @@ def main() -> int:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,10 +82,12 @@ def main() -> int:
             scols = list(sdf.columns)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e).splitlines()[0][:200]}")
+            report[name] = {"ok": False, "err": f"spark: {type(e).__name__}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            report[name] = {"ok": True, "weak": True, "rows": len(srows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -86,6 +95,7 @@ def main() -> int:
             orows = [tuple(r) for r in res.fetchall()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e).splitlines()[0][:200]}")
+            report[name] = {"ok": False, "err": f"duckdb: {type(e).__name__}"}
             failures += 1
             continue
         problems = []
@@ -106,10 +116,26 @@ def main() -> int:
                     print(f"        duck-only : {d[:160]}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            report[name] = {"ok": False, "err": "; ".join(problems)[:300]}
             failures += 1
         else:
             print(f"ok    {name}: rows={len(srows)}")
+            report[name] = {"ok": True, "rows": len(srows)}
     print(f"\n{len(qs)} queries, {failures} failures")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(report),
+                    "failures": failures,
+                    "results": report,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
