@@ -169,3 +169,20 @@ def test_single_pass_plan_broadcasts_flag(docs):
 def test_empty_result(docs):
     out = search(docs, _params("qqq www eee rrr ttt yyy uuu iii ooo ppp"))
     assert out.count() == 0
+
+
+def test_paged_search_plan_is_topk_not_global_sort(docs):
+    """A paged search (offset+limit) must plan as TakeOrderedAndProject —
+    distributed top-k with the offset folded in — never a global Sort of
+    all candidates (the 100 TB difference between 'each partition keeps 55
+    rows' and 'shuffle-sort the corpus'). The pass-1/pass-2 disjunction
+    must also reach the scan as a pushed Filter."""
+    df = search(docs, _params("paris ridge", offset=5, limit=50))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "offset=5" in plan
+    # no full-result global sort node (TakeOrderedAndProject replaces it)
+    assert "\n+- Sort " not in plan and " Sort [" not in plan
+    # candidate pruning happens scan-side: a Filter with the prefix
+    # predicate sits under the scoring Project
+    assert "Filter (StartsWith" in plan or "Filter ((StartsWith" in plan
