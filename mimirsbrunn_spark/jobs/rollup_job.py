@@ -479,15 +479,15 @@ def run_rollup_job(
                 # so operators can see non-contiguous preserved coverage.
                 # (One tiny driver agg over the retention-bounded tier, on
                 # the rare rebuild path only.)
-                old_max_row = old.agg(F.max(sec)).first()
-                old_max = old_max_row[0] if old_max_row else None
                 # (sentinel src_min = nothing covered: the tier preserves
-                # everything and rebuilds nothing — no stitch, no gap)
-                if (
-                    old_max is not None
-                    and old_max + step < floor_b
-                    and src_min != _NOTHING_COVERED
-                ):
+                # everything and rebuilds nothing — no stitch, no gap; the
+                # driver-side check comes FIRST so the probe never scans
+                # the whole tier just to discard the result)
+                old_max = None
+                if src_min != _NOTHING_COVERED:
+                    old_max_row = old.agg(F.max(sec)).first()
+                    old_max = old_max_row[0] if old_max_row else None
+                if old_max is not None and old_max + step < floor_b:
                     metrics.record(
                         spark, job_id, stage="derived_rebuild",
                         kv={

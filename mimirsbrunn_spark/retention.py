@@ -124,8 +124,21 @@ def expire_tier(
     # the next run takes the history-preserving full rebuild instead.
     has_part_values = any(v for v in snap.partitions.values())
     pby = lay.get("partition_by")
-    if pby is None and has_part_values and "pkey" in df.columns:
-        pby = "pkey"
+    if pby is None and has_part_values:
+        # candidates: the engine's own partition columns first ('pkey' for
+        # tiers, 'day' for the 1m series), then any other column whose
+        # string-cast values reproduce the recorded partition values (one
+        # cheap driver-checked aggregate per candidate, fallback path only)
+        recorded = sorted({v for v in snap.partitions.values() if v})[:20]
+        named = [c for c in ("pkey", "day") if c in df.columns]
+        others = [c for c in df.columns if c not in named]
+        for cand in named + others:
+            hit = df.filter(
+                F.col(cand).cast("string").isin(recorded)
+            ).take(1)
+            if hit:
+                pby = cand
+                break
     meta = {**keep_meta, "retention_cutoff": cutoff, "expired_rows": expired}
     if pby is None and has_part_values:
         meta.pop("series_snapshot", None)

@@ -236,23 +236,28 @@ class SnapshotTable:
             cur = self.current_snapshot_id()
             if cur is not None:
                 plh = self.snapshot(cur).layout or {}
-                explicit = (
-                    partition_by is not None
-                    or bool(stats_cols)
-                    or bool(cluster_by)
-                    or cluster_files is not None
-                )
-                if not explicit:
-                    partition_by = plh.get("partition_by")
-                    stats_cols = tuple(plh.get("stats_cols", ()) or ())
-                    cluster_by = tuple(plh.get("cluster_by", ()) or ())
-                    cluster_files = plh.get("cluster_files")
-                elif plh.get("partition_by") and partition_by != plh.get("partition_by"):
+                # merge FIELD BY FIELD: each unspecified layout component
+                # inherits the parent's (an append passing only
+                # partition_by must not silently drop the declared
+                # stats_cols/cluster_by — appends conform to the declared
+                # layout, they never respec it); an explicit partition
+                # column that CONTRADICTS the declared one is an error
+                if plh.get("partition_by") and partition_by is not None and (
+                    partition_by != plh.get("partition_by")
+                ):
                     raise ValueError(
                         f"append partition_by={partition_by!r} conflicts with the "
                         f"table's declared layout {plh.get('partition_by')!r} — "
                         "replace the table to change its layout"
                     )
+                if partition_by is None:
+                    partition_by = plh.get("partition_by")
+                if not stats_cols:
+                    stats_cols = tuple(plh.get("stats_cols", ()) or ())
+                if not cluster_by:
+                    cluster_by = tuple(plh.get("cluster_by", ()) or ())
+                if cluster_files is None:
+                    cluster_files = plh.get("cluster_files")
         new = self._write_fileset(df, partition_by, stats_cols, cluster_by, cluster_files)
 
         # Commit under the table lock: the parent is re-read inside the
@@ -264,6 +269,18 @@ class SnapshotTable:
             parent = self.current_snapshot_id()
             if parent is not None and mode == "append":
                 prev = self.snapshot(parent)
+                # the layout was inherited OUTSIDE the lock; if a concurrent
+                # replace respec'd the table since (declared partition column
+                # changed), our already-written files disagree with the
+                # table's current spec — fail the optimistic commit rather
+                # than silently reverting the declared layout
+                cur_pby = (prev.layout or {}).get("partition_by")
+                if cur_pby and new["layout"].get("partition_by") != cur_pby:
+                    raise RuntimeError(
+                        "concurrent layout change: table now declares "
+                        f"partition_by={cur_pby!r} but this append wrote "
+                        f"{new['layout'].get('partition_by')!r} — retry the commit"
+                    )
                 files = prev.files + new["files"]
                 rows = prev.row_count + new["rows"]
                 parts = {**prev.partitions, **new["partitions"]}

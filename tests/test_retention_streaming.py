@@ -251,6 +251,36 @@ def test_expire_tier_legacy_partitioned_manifest_not_flattened(
     assert tbl.read(spark).filter(F.col("bucket_ts").cast("long") < cutoff).count() == 0
 
 
+def test_expire_tier_legacy_day_series_not_flattened(spark, small_pages_path, tmp_path):
+    """The 1m SERIES table is partitioned by 'day', not 'pkey': a legacy
+    series manifest (values recorded, layout {}) must infer 'day' in the
+    full-rewrite fallback — flattening it would break enumerate_days'
+    manifest fast path and crash-resume's drop_partition_values({day})
+    (duplicate day rows on re-append)."""
+    import json as _json
+
+    pages = spark.read.parquet(small_pages_path)
+    s = series.series_1m(pages).withColumn("day", F.to_date("bucket_ts"))
+    tbl = SnapshotTable(str(tmp_path / "series_legacy"))
+    tbl.commit(s, mode="replace", partition_by="day")
+    sid = tbl.current_snapshot_id()
+    with open(tbl._manifest_path(sid)) as fh:
+        m = _json.load(fh)
+    assert any(m["partitions"].values())
+    m["layout"] = {}
+    with open(tbl._manifest_path(sid), "w") as fh:
+        _json.dump(m, fh)
+
+    max_ts = s.agg(F.max(F.col("bucket_ts").cast("long"))).collect()[0][0]
+    expired = retention.expire_tier(
+        spark, tbl, "1m", now_epoch=max_ts, retention_seconds={"1m": 2 * 86400}
+    )
+    assert expired > 0
+    after = tbl.snapshot(tbl.current_snapshot_id())
+    assert after.layout.get("partition_by") == "day"
+    assert all(after.partitions.get(f) for f in after.files)
+
+
 def test_expire_tier_uninferable_partition_drops_sync_marker(spark, tmp_path):
     """When the fallback cannot infer a partition column (values recorded
     but no pkey column in the data), it must flatten WITHOUT the
@@ -276,7 +306,6 @@ def test_expire_tier_uninferable_partition_drops_sync_marker(spark, tmp_path):
     with open(tbl._manifest_path(sid), "w") as fh:
         _json.dump(m, fh)
     # drop the column the values came from: inference is now impossible
-    tbl2 = SnapshotTable(tbl.path)
 
     class _NoKey(SnapshotTable):
         def read(self, spark_, **kw):
