@@ -249,6 +249,30 @@ def _refresh_derived_incremental(
     return stats
 
 
+_STATS_INCONCLUSIVE = object()
+
+
+def _manifest_max_below(tbl, bound: int):
+    """Largest bucket_ts (epoch sec) strictly below ``bound``, answered from
+    the manifest's per-file bucket_ts zone maps alone — None if no rows lie
+    below, ``_STATS_INCONCLUSIVE`` if the manifest can't prove the answer
+    (a file missing bucket_ts stats, or one straddling the bound, whose
+    exact sub-bound maximum only a scan can produce). Zone-map bounds are
+    exact here: tier bucket_ts values are whole bucket-aligned seconds, so
+    the footer min/max round-trips losslessly."""
+    try:
+        snap = tbl.snapshot(tbl.current_snapshot_id())
+        stats = [snap.file_stats.get(f, {}).get("bucket_ts") for f in snap.files]
+    except Exception:
+        return _STATS_INCONCLUSIVE  # backend without manifest introspection
+    if any(s is None or len(s) != 2 for s in stats):
+        return _STATS_INCONCLUSIVE
+    if any(s[0] < bound <= s[1] for s in stats):
+        return _STATS_INCONCLUSIVE  # straddling file: exact max needs a scan
+    below = [s[1] for s in stats if s[1] < bound]
+    return max(below) if below else None
+
+
 def _checksum(df) -> str:
     """Deterministic order-independent content checksum: XOR of per-row
     xxhash64 over all columns (bit_xor is commutative + overflow-free,
@@ -477,16 +501,19 @@ def run_rollup_job(
                 # between silently vanish and coarser tiers aggregate across
                 # the hole with no signal. Detect and surface it as a metric
                 # so operators can see non-contiguous preserved coverage.
-                # (One tiny driver agg over the retention-bounded tier, on
-                # the rare rebuild path only.)
                 # (sentinel src_min = nothing covered: the tier preserves
                 # everything and rebuilds nothing — no stitch, no gap; the
                 # driver-side check comes FIRST so the probe never scans
-                # the whole tier just to discard the result)
+                # the whole tier just to discard the result. The probe
+                # itself answers from the manifest's bucket_ts zone maps
+                # when they are conclusive — a Spark max() job over the
+                # tier runs only for straddling/stat-less files.)
                 old_max = None
                 if src_min != _NOTHING_COVERED:
-                    old_max_row = old.agg(F.max(sec)).first()
-                    old_max = old_max_row[0] if old_max_row else None
+                    old_max = _manifest_max_below(tbl, floor_b)
+                    if old_max is _STATS_INCONCLUSIVE:
+                        old_max_row = old.agg(F.max(sec)).first()
+                        old_max = old_max_row[0] if old_max_row else None
                 if old_max is not None and old_max + step < floor_b:
                     metrics.record(
                         spark, job_id, stage="derived_rebuild",
@@ -583,7 +610,14 @@ def run_rollup_job(
         if sid_after is not None and sid_after != sid_now:
             for t in tier_tables.values():
                 if hasattr(t, "update_meta") and t.exists():
-                    t.update_meta({"series_snapshot": sid_after})
+                    # re-pin ONLY tables still carrying the marker:
+                    # expire_tier deliberately STRIPS it when it had to
+                    # flatten an uninferable table, so the next run takes
+                    # the safe full rebuild — an unconditional re-pin here
+                    # would resurrect the duplicating incremental refresh
+                    cur_meta = t.snapshot(t.current_snapshot_id()).meta
+                    if "series_snapshot" in cur_meta:
+                        t.update_meta({"series_snapshot": sid_after})
         metrics.record(
             spark, job_id, stage="retention", kv={f"expired_{k}": v for k, v in expired.items()}
         )

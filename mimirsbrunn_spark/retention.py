@@ -126,21 +126,40 @@ def expire_tier(
     pby = lay.get("partition_by")
     if pby is None and has_part_values:
         # candidates: the engine's own partition columns first ('pkey' for
-        # tiers, 'day' for the 1m series), then any other column whose
-        # string-cast values reproduce the recorded partition values (one
-        # cheap driver-checked aggregate per candidate, fallback path only)
+        # tiers, 'day' for the 1m series, 'bucket' for incremental-refresh
+        # layouts), then every other column. ONE aggregation pass counts,
+        # per candidate, how many distinct recorded partition values its
+        # string-cast reproduces; only a column reproducing ALL of the
+        # sampled values qualifies (a one-row coincidence — e.g. a metric
+        # value equal to one epoch key — must NOT elect a data column: the
+        # republished layout would feed later lexicographic partition
+        # drops, silently deleting unexpired rows).
         recorded = sorted({v for v in snap.partitions.values() if v})[:20]
-        named = [c for c in ("pkey", "day") if c in df.columns]
-        others = [c for c in df.columns if c not in named]
-        for cand in named + others:
-            hit = df.filter(
-                F.col(cand).cast("string").isin(recorded)
-            ).take(1)
-            if hit:
-                pby = cand
+        named = [c for c in ("pkey", "day", "bucket") if c in df.columns]
+        cands = named + [c for c in df.columns if c not in named]
+        counts = df.agg(
+            *[
+                F.countDistinct(
+                    F.when(
+                        F.col(c).cast("string").isin(recorded),
+                        F.col(c).cast("string"),
+                    )
+                ).alias(f"_c{i}")
+                for i, c in enumerate(cands)
+            ]
+        ).first()
+        for i, c in enumerate(cands):
+            if counts[f"_c{i}"] == len(recorded):
+                pby = c
                 break
     meta = {**keep_meta, "retention_cutoff": cutoff, "expired_rows": expired}
-    if pby is None and has_part_values:
+    if pby is None:
+        # committing UNPARTITIONED: the sync marker must not survive — an
+        # unpartitioned table + marker sends the next run into the
+        # incremental refresh, whose replace_partitions keeps every
+        # ''-partition file (never in any replaced set) while appending
+        # fresh rows. This applies to ALREADY-flattened tables too (no
+        # recorded values at all), not just freshly-uninferable ones.
         meta.pop("series_snapshot", None)
     table.commit(
         kept,

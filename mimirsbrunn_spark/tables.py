@@ -232,24 +232,35 @@ class SnapshotTable:
         # explicit layout inherits the parent's (the new files are written
         # conforming to it); a call with a CONFLICTING partition column is
         # an error, not a silent respec.
+        explicit_pby = partition_by is not None
+        prev_pre = None
         if mode == "append":
             cur = self.current_snapshot_id()
             if cur is not None:
-                plh = self.snapshot(cur).layout or {}
+                prev_pre = self.snapshot(cur)
+                plh = prev_pre.layout or {}
                 # merge FIELD BY FIELD: each unspecified layout component
                 # inherits the parent's (an append passing only
                 # partition_by must not silently drop the declared
                 # stats_cols/cluster_by — appends conform to the declared
-                # layout, they never respec it); an explicit partition
-                # column that CONTRADICTS the declared one is an error
-                if plh.get("partition_by") and partition_by is not None and (
-                    partition_by != plh.get("partition_by")
+                # layout, they never respec it); explicit values that
+                # CONTRADICT a declared counterpart are errors, not silent
+                # respecs. cluster_files is a per-write file-count tuning
+                # knob, not layout identity — freely overridable.
+                for field, given in (
+                    ("partition_by", partition_by),
+                    ("stats_cols", tuple(stats_cols) if stats_cols else None),
+                    ("cluster_by", tuple(cluster_by) if cluster_by else None),
                 ):
-                    raise ValueError(
-                        f"append partition_by={partition_by!r} conflicts with the "
-                        f"table's declared layout {plh.get('partition_by')!r} — "
-                        "replace the table to change its layout"
-                    )
+                    declared = plh.get(field)
+                    if field != "partition_by" and declared is not None:
+                        declared = tuple(declared)
+                    if declared and given is not None and given != declared:
+                        raise ValueError(
+                            f"append {field}={given!r} conflicts with the "
+                            f"table's declared layout {declared!r} — "
+                            "replace the table to change its layout"
+                        )
                 if partition_by is None:
                     partition_by = plh.get("partition_by")
                 if not stats_cols:
@@ -268,18 +279,29 @@ class SnapshotTable:
         with self._lock():
             parent = self.current_snapshot_id()
             if parent is not None and mode == "append":
-                prev = self.snapshot(parent)
+                # manifests are immutable per snapshot id: reuse the pre-lock
+                # parse when no concurrent commit landed (the common case —
+                # avoids double O(files) manifest parsing on every append)
+                prev = (
+                    prev_pre
+                    if prev_pre is not None and prev_pre.snapshot_id == parent
+                    else self.snapshot(parent)
+                )
                 # the layout was inherited OUTSIDE the lock; if a concurrent
                 # replace respec'd the table since (declared partition column
-                # changed), our already-written files disagree with the
-                # table's current spec — fail the optimistic commit rather
-                # than silently reverting the declared layout
+                # changed OR removed), our already-written files disagree
+                # with the table's current spec — fail the optimistic commit
+                # rather than silently reverting the declared layout. The
+                # one legitimate mismatch: this append EXPLICITLY partitions
+                # a table whose declared layout has no partition column (a
+                # first-partitioned-append upgrade).
                 cur_pby = (prev.layout or {}).get("partition_by")
-                if cur_pby and new["layout"].get("partition_by") != cur_pby:
+                wrote_pby = new["layout"].get("partition_by")
+                if wrote_pby != cur_pby and (cur_pby or not explicit_pby):
                     raise RuntimeError(
                         "concurrent layout change: table now declares "
                         f"partition_by={cur_pby!r} but this append wrote "
-                        f"{new['layout'].get('partition_by')!r} — retry the commit"
+                        f"{wrote_pby!r} — retry the commit"
                     )
                 files = prev.files + new["files"]
                 rows = prev.row_count + new["rows"]
@@ -330,6 +352,19 @@ class SnapshotTable:
             parent = self.current_snapshot_id()
             if parent is not None:
                 prev = self.snapshot(parent)
+                # live files WITHOUT a partition value can never be replaced
+                # by ANY values set: a partition-scoped overwrite on top of
+                # them keeps their rows while appending recomputed ones —
+                # silent duplication (a flattened/legacy table must be
+                # replace-committed in full first). Loud error, not quiet
+                # double-count.
+                flat = [f for f in prev.files if not prev.partitions.get(f)]
+                if flat:
+                    raise ValueError(
+                        f"replace_partitions: {len(flat)} live file(s) carry no "
+                        "partition value (flattened/legacy table) — rewrite the "
+                        "table with a partitioned replace commit first"
+                    )
                 keep = [f for f in prev.files if prev.partitions.get(f, "") not in values]
                 files = keep + new["files"]
                 parts = {

@@ -281,6 +281,71 @@ def test_expire_tier_legacy_day_series_not_flattened(spark, small_pages_path, tm
     assert all(after.partitions.get(f) for f in after.files)
 
 
+def test_expire_tier_inference_rejects_one_row_coincidence(spark, tmp_path):
+    """A data column where a SINGLE row's string-cast equals one recorded
+    partition value must not be elected as the partition column (a wrong
+    election would feed later lexicographic partition drops — silent
+    deletion): inference requires reproducing ALL sampled recorded values.
+    Here the true key column is dropped and 'v' collides with exactly one
+    epoch key — the fallback must flatten + strip, not republish
+    partitioned by 'v'."""
+    import datetime as _dt
+    import json as _json
+
+    day0 = int(_dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc).timestamp())
+    rows = []
+    for d in range(6):
+        for i in range(3):
+            rows.append(
+                (
+                    f"h{i}",
+                    _dt.datetime.fromtimestamp(day0 + d * 86400, _dt.timezone.utc),
+                    str(day0),  # collides with ONE bucket key on every row
+                    str(day0 + d * 86400),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "host string, bucket_ts timestamp, v string, bucket string"
+    )
+    tbl = SnapshotTable(str(tmp_path / "coin"))
+    tbl.commit(df, mode="replace", meta={"series_snapshot": 9}, partition_by="bucket")
+    sid = tbl.current_snapshot_id()
+    with open(tbl._manifest_path(sid)) as fh:
+        m = _json.load(fh)
+    m["layout"] = {}
+    with open(tbl._manifest_path(sid), "w") as fh:
+        _json.dump(m, fh)
+
+    class _NoBucket(SnapshotTable):
+        def read(self, spark_, **kw):
+            return super().read(spark_, **kw).drop("bucket")
+
+    t2 = _NoBucket(tbl.path)
+    now = day0 + 6 * 86400
+    expired = retention.expire_tier(
+        spark, t2, "1h", now_epoch=now, retention_seconds={"1h": 2 * 86400}
+    )
+    assert expired > 0
+    after = t2.snapshot(t2.current_snapshot_id())
+    assert after.layout.get("partition_by") is None  # 'v' NOT elected
+    assert "series_snapshot" not in after.meta  # safe full rebuild next run
+
+
+def test_replace_partitions_refuses_flattened_table(spark, tmp_path):
+    """A partition-scoped overwrite on a table whose live files carry no
+    partition values must raise (those files survive EVERY replaced set —
+    appending recomputed rows on top silently duplicates)."""
+    tbl = SnapshotTable(str(tmp_path / "flat"))
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "pkey string, v double")
+    tbl.commit(df, mode="replace")  # unpartitioned: files have no values
+    with pytest.raises(ValueError, match="no\\s+partition value|flattened"):
+        tbl.replace_partitions(
+            spark.createDataFrame([("a", 9.0)], "pkey string, v double"),
+            {"a"},
+            partition_by="pkey",
+        )
+
+
 def test_expire_tier_uninferable_partition_drops_sync_marker(spark, tmp_path):
     """When the fallback cannot infer a partition column (values recorded
     but no pkey column in the data), it must flatten WITHOUT the

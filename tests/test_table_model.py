@@ -153,3 +153,12 @@ def test_append_inherits_declared_layout(spark, tmp_path):
     # conflicting partition column: loud error, not a silent respec
     with pytest.raises(ValueError, match="conflicts with the table's declared layout"):
         tbl.commit(df2.withColumnRenamed("pkey", "other"), mode="append", partition_by="other")
+    # conflicting stats_cols / cluster_by: same — an append can never respec
+    # the declared pruning layout
+    with pytest.raises(ValueError, match="stats_cols.*conflicts"):
+        tbl.commit(df2, mode="append", stats_cols=("v",))
+    with pytest.raises(ValueError, match="cluster_by.*conflicts"):
+        tbl.commit(df2, mode="append", cluster_by=("v",))
+    # a PARTIAL append (partition_by only) still inherits the rest
+    tbl.commit(df2.withColumn("pkey", F.lit("2024-01-04")), mode="append", partition_by="pkey")
+    assert tbl.snapshot(tbl.current_snapshot_id()).layout == declared
