@@ -88,7 +88,8 @@ def read_rollup(
         out = df.withColumn("avg_page_size", F.col("bytes_sum") / F.col("doc_count"))
         order = ["host", "bucket_ts", "lang"]
     else:
-        assert fill in ("locf", "linear")
+        if fill not in ("locf", "linear"):
+            raise ValueError(f"unknown fill {fill!r} (expected 'locf' or 'linear')")
         hs = df.groupBy("host", "bucket_ts").agg(
             F.sum("doc_count").alias("doc_count"), F.sum("bytes_sum").alias("bytes_sum")
         )
@@ -135,15 +136,12 @@ def read_plot(
     visualization hyperfunctions over continuous aggregates."""
     from .operators.downsample import lttb_downsample, m4_downsample
 
-    assert method in ("m4", "lttb")
+    if method not in ("m4", "lttb"):
+        raise ValueError(f"unknown method {method!r} (expected 'm4' or 'lttb')")
     cap = max(n_px * points_per_px, n_px)
     tier = pick_tier(t0, t1, max_points=cap)
     df = read_rollup(spark, out_dir, tier, t0=t0, t1=t1, hosts=hosts)
-    hs = (
-        df.groupBy("host", "bucket_ts")
-        .agg(F.sum(metric).alias("value"))
-        .select("host", F.col("bucket_ts").cast("long").alias("ts_sec"), "value")
-    )
+    hs = _host_series_sec(df, metric)
     step = TIER_SECONDS[tier]
     if (t1 - t0) // step > cap:
         # pick_tier saturated at the coarsest tier and the range STILL
@@ -166,6 +164,18 @@ def read_plot(
     return lttb_downsample(hs, ["host"], n_out=n_px)
 
 
+def _host_series_sec(df: DataFrame, metric: str) -> DataFrame:
+    """The shared host-series projection every analytic read uses: collapse
+    langs to (host, ts_sec, value). Additive metrics only (counts/bytes —
+    F.sum across langs); derived metrics like avg_page_size must be
+    recomputed from the summed components, not summed."""
+    return (
+        df.groupBy("host", "bucket_ts")
+        .agg(F.sum(metric).alias("value"))
+        .select("host", F.col("bucket_ts").cast("long").alias("ts_sec"), "value")
+    )
+
+
 def read_anomaly(
     spark: SparkSession,
     out_dir: str,
@@ -177,23 +187,26 @@ def read_anomaly(
     window_n: int = 24,
     threshold: float = 3.0,
     only_anomalies: bool = True,
+    warm_buckets: int | None = None,
 ) -> DataFrame:
     """Anomaly scan over the published tiers: pruned tier read (tier auto-
     routed unless given) → host series → trailing-window z-score. The
     window needs ``window_n`` points of history BEFORE t0 to score the
     first in-range points, so the read extends the range back by
-    window_n buckets and trims afterwards. Output: (host, ts_sec, value,
-    zscore, is_anomaly)."""
+    ``warm_buckets`` (default window_n) buckets and trims afterwards.
+    Caveat: the z-score window is ROW-based while the warm-back is
+    TIME-based — a series observed in only a fraction of its buckets gets
+    proportionally fewer history rows at the range edge than a full-history
+    scan would supply (min_points in the operator nulls verdicts with too
+    little history rather than mis-scoring); pass a larger ``warm_buckets``
+    for known-sparse series. Output: (host, ts_sec, value, zscore,
+    is_anomaly)."""
     from .operators.anomaly import zscore_anomaly
 
     tier = tier or pick_tier(t0, t1)
-    warm = t0 - window_n * TIER_SECONDS[tier]
+    warm = t0 - (warm_buckets if warm_buckets is not None else window_n) * TIER_SECONDS[tier]
     df = read_rollup(spark, out_dir, tier, t0=warm, t1=t1, hosts=hosts)
-    hs = (
-        df.groupBy("host", "bucket_ts")
-        .agg(F.sum(metric).alias("value"))
-        .select("host", F.col("bucket_ts").cast("long").alias("ts_sec"), "value")
-    )
+    hs = _host_series_sec(df, metric)
     out = zscore_anomaly(
         hs, keys=("host",), ts_col="ts_sec", value_col="value",
         window_n=window_n, threshold=threshold,
@@ -227,15 +240,16 @@ def read_forecast(
     parts = sorted({v for v in snap.partitions.values() if v})
     last = tbl.read(spark, partition_values={parts[-1]} if parts else None)
     anchor = last.agg(F.max(F.col("bucket_ts").cast("long"))).first()[0]
+    if anchor is None:
+        raise ValueError(
+            f"read_forecast: {tbl.path} holds no rows (fully expired or "
+            "empty publish) — nothing to anchor a forecast on"
+        )
     df = read_rollup(
         spark, out_dir, tier,
         t0=anchor - (season_n - 1) * step, t1=anchor + 1, hosts=hosts,
     )
-    hs = (
-        df.groupBy("host", "bucket_ts")
-        .agg(F.sum(metric).alias("value"))
-        .select("host", F.col("bucket_ts").cast("long").alias("ts_sec"), "value")
-    )
+    hs = _host_series_sec(df, metric)
     return forecast_seasonal_naive(
         hs, keys=("host",), ts_col="ts_sec", value_col="value",
         step_sec=step, season_n=season_n, horizon_n=horizon_n, anchor_ts=anchor,
@@ -252,14 +266,22 @@ def read_gapfill(
     metric: str | None = None,
     fill: str = "locf",
 ) -> DataFrame:
-    """Read the PRE-COMPUTED gap-filled series published by rollup_job
-    (read_rollup(fill=...) computes the same thing on demand from the tier
-    table; this serves it from storage). t0/t1 prune at the manifest level
-    via the tier's partition key, then re-apply as exact row predicates.
-    Returns (host, bucket_ts, metric, value, is_filled)."""
+    """Read the PRE-COMPUTED gap-filled series published by rollup_job.
+    t0/t1 prune at the manifest level via the tier's partition key, then
+    re-apply as exact row predicates. Returns (host, bucket_ts, metric,
+    value, is_filled).
+
+    NOT interchangeable with ``read_rollup(fill=...)`` near range edges:
+    the stored table was filled over the FULL history (a host observed
+    before t0 keeps filling forward into [t0, t1)), while the on-demand
+    fill anchors on observations WITHIN the requested range only — buckets
+    between t0 and a host's first in-range observation exist here but not
+    there, and linear edge anchors differ. Serve stored fills for
+    dashboard reads; use the on-demand form for range-local analysis."""
     from .tiers import partition_bounds
 
-    assert fill in ("locf", "linear")
+    if fill not in ("locf", "linear"):
+        raise ValueError(f"unknown fill {fill!r} (expected 'locf' or 'linear')")
     tbl = SnapshotTable(f"{out_dir}/gapfill_{tier}")
     p_lo, p_hi = partition_bounds(tier, t0, t1)
     df = tbl.read(
@@ -400,7 +422,14 @@ def register_views(spark: SparkSession, out_dir: str, prefix: str = "") -> list[
 
     names = []
     for name in sorted(os.listdir(out_dir)):
-        tbl = SnapshotTable(os.path.join(out_dir, name))
+        path = os.path.join(out_dir, name)
+        # probe BEFORE constructing: SnapshotTable.__init__ creates the
+        # table skeleton, and an admin/read surface must not sprinkle
+        # _snapshots/ dirs over plain files or foreign directories (which
+        # would even make input autodetection misclassify a parquet dir)
+        if not os.path.isdir(os.path.join(path, "_snapshots")):
+            continue
+        tbl = SnapshotTable(path)
         if not tbl.exists():
             continue
         view = f"{prefix}{name}"
@@ -419,7 +448,10 @@ def table_report(spark: SparkSession, out_dir: str) -> dict:
 
     report: dict = {"tables": {}, "lineage": None}
     for name in sorted(os.listdir(out_dir)):
-        tbl = SnapshotTable(os.path.join(out_dir, name))
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(os.path.join(path, "_snapshots")):
+            continue  # plain file / foreign dir — and never mkdir into it
+        tbl = SnapshotTable(path)
         if not tbl.exists():
             continue
         snap = tbl.snapshot(tbl.current_snapshot_id())
@@ -438,6 +470,8 @@ def table_report(spark: SparkSession, out_dir: str) -> dict:
             "files_with_stats": sum(1 for f in snap.files if f in snap.file_stats),
         }
     lin_path = os.path.join(out_dir, "lineage")
+    if not os.path.isdir(os.path.join(lin_path, "_snapshots")):
+        return report
     lin = SnapshotTable(lin_path)
     if lin.exists():
         rows = lin.read(spark).select("partition_id").collect()

@@ -43,7 +43,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .functions.scoring import clause_overlap, field_value_factor, msm_required
+from .functions.scoring import (
+    clause_overlap,
+    field_value_factor,
+    importance_score,
+    msm_required,
+)
 
 
 @dataclass
@@ -63,12 +68,23 @@ class SearchParams:
 
 
 def _score(params: SearchParams, type_col, weight_col, overlap_col, n_clauses: int):
-    tw = F.lit(1.0) if not params.type_weights else F.lit(0.0)
-    for t, w in params.type_weights.items():
-        tw = F.when(type_col == t, F.lit(float(w))).otherwise(tw)
-    importance = tw * field_value_factor(
-        weight_col, params.weight_factor, params.weight_missing, params.weight_modifier
-    )
+    if params.type_weights:
+        # the shared G12 blend (functions/scoring.importance_score) — one
+        # implementation of the reference's function_score semantics
+        importance = importance_score(
+            type_col,
+            weight_col,
+            params.type_weights,
+            factor=params.weight_factor,
+            missing=params.weight_missing,
+            modifier=params.weight_modifier,
+        )
+    else:
+        # no per-type functions configured: every type weighs 1.0 (the
+        # reference's behavior with an empty weight list)
+        importance = field_value_factor(
+            weight_col, params.weight_factor, params.weight_missing, params.weight_modifier
+        )
     match_ratio = overlap_col.cast("double") / F.lit(float(n_clauses))
     return importance + F.lit(float(params.match_boost)) * match_ratio
 
@@ -94,6 +110,11 @@ def search(
         raise ValueError(f"unknown search mode {mode!r}")
     tokens = params.query.split()
     n = len(tokens)
+    if n == 0:
+        # an empty/whitespace query would divide the match ratio by zero,
+        # prefix-match every label (startswith('') is always true) and page
+        # the whole corpus with null scores — reject it loudly instead
+        raise ValueError("search query must contain at least one token")
     qt = F.array(*[F.lit(t) for t in tokens])
 
     base = docs

@@ -235,13 +235,23 @@ def incremental_refresh(
         .filter(F.col("bucket_ts").cast("long").isin([int(b) for b in bucket_set]))
         .withColumn("bucket", F.col("bucket_ts").cast("long").cast("string"))
     )
-    tier_tbl.drop_partition_values(
-        {str(b) for b in buckets}, meta={"refresh": tier, "days": days}
-    )
-    tier_tbl.commit(
-        fresh, mode="append" if tier_tbl.exists() else "replace",
-        meta={"tier": tier, "refreshed_buckets": len(buckets)}, partition_by="bucket",
-    )
+    meta = {"tier": tier, "refreshed_buckets": len(buckets)}
+    if tier_tbl.exists() and hasattr(tier_tbl, "replace_partitions"):
+        # ATOMIC swap (one published snapshot) — the drop-then-append
+        # sequence exposes a crash window where the dirty buckets' rows are
+        # missing from the current snapshot until the append lands
+        tier_tbl.replace_partitions(
+            fresh, {str(b) for b in buckets}, meta=meta, partition_by="bucket"
+        )
+    else:
+        if tier_tbl.exists():
+            tier_tbl.drop_partition_values(
+                {str(b) for b in buckets}, meta={"refresh": tier, "days": days}
+            )
+        tier_tbl.commit(
+            fresh, mode="append" if tier_tbl.exists() else "replace",
+            meta=meta, partition_by="bucket",
+        )
     return len(buckets)
 
 
@@ -328,6 +338,8 @@ def stitched_totals(
                 *key_cols, "doc_count", "bytes_sum"
             )
         )
+    if not pieces:
+        raise ValueError("empty range")  # same contract as read_range_total
     u = reduce(lambda x, y: x.unionByName(y), pieces)
     return u.groupBy(*key_cols).agg(
         F.sum("doc_count").alias("doc_count"),

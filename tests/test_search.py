@@ -171,6 +171,14 @@ def test_empty_result(docs):
     assert out.count() == 0
 
 
+def test_empty_query_rejected(docs):
+    """An empty/whitespace query must raise — not divide the match ratio by
+    zero and page the whole corpus with null scores."""
+    for q in ("", "   "):
+        with pytest.raises(ValueError, match="at least one token"):
+            search(docs, _params(q))
+
+
 def test_paged_search_plan_is_topk_not_global_sort(docs):
     """A paged search (offset+limit) must plan as TakeOrderedAndProject —
     distributed top-k with the offset folded in — never a global Sort of

@@ -198,6 +198,23 @@ def test_sql_surface_register_views(spark, small_pages_path, tmp_path):
     ).collect()[0].n
     assert joined > 0
 
+    # a stray plain file and a foreign directory in out_dir must neither
+    # crash the admin surface nor get _snapshots/ skeletons created inside
+    # them (the read path must not mutate what it reports on)
+    import os
+
+    from mimirsbrunn_spark.query_api import table_report
+
+    with open(os.path.join(out, "README.txt"), "w") as fh:
+        fh.write("stray")
+    os.makedirs(os.path.join(out, "foreign_parquet_dir"), exist_ok=True)
+    views2 = register_views(spark, out, prefix="u_")
+    assert "u_rollup_1h" in views2 and "u_README.txt" not in views2
+    rep = table_report(spark, out)
+    assert "rollup_1h" in rep["tables"] and "foreign_parquet_dir" not in rep["tables"]
+    assert not os.path.exists(os.path.join(out, "foreign_parquet_dir", "_snapshots"))
+    assert os.path.isfile(os.path.join(out, "README.txt"))
+
 
 def test_job_partitioned_input_manifest_pruning(spark, small_pages_path, small_pages_pdf, tmp_path):
     """rollup_job over a day-partitioned SnapshotTable input: each day
