@@ -328,8 +328,12 @@ def chunk_partition_col(host_buckets: int):
     the month half to be a sound pruning key."""
     from pyspark.sql import functions as F
 
-    hb = F.lpad(
-        F.pmod(F.crc32(F.col("host")), F.lit(host_buckets)).cast("string"), 4, "0"
+    # format_string('%04d') zero-pads to a MINIMUM width (printf): buckets
+    # beyond 9999 keep all their digits, exactly like the driver-side twin's
+    # '04d'. lpad would TRUNCATE a 5-digit bucket to 4 chars — write-side
+    # '1234|...' vs probe-side '12345|...' = rows silently unreachable.
+    hb = F.format_string(
+        "%04d", F.pmod(F.crc32(F.col("host")), F.lit(host_buckets))
     )
     return F.concat_ws("|", hb, F.date_format("chunk_start", "yyyy-MM"))
 

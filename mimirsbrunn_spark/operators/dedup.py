@@ -73,16 +73,38 @@ def hash_lambda_sql(hasher: str = "xxhash64") -> str:
 # ---------------------------------------------------------------------------
 
 
-def exact_groups(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_groups(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_group_ids: int | None = None,
+) -> DataFrame:
     """(fp, n_docs, keep_id, dup_ids): one row per duplicate group (n ≥ 2).
-    keep = min id (arg-min, deterministic)."""
+    keep = min id (arg-min, deterministic).
+
+    ``dup_ids`` buffers the WHOLE group in one aggregation row; a
+    boilerplate page duplicated across millions of docs would OOM that
+    task. ``max_group_ids`` caps the ids LISTED per group (the smallest N —
+    deterministic) while n_docs/keep_id stay exact over the full group;
+    None (default) keeps the complete listing, the small-scale/oracle
+    shape. For pure dedup (no listing at all) use exact_dedup — it never
+    materializes groups."""
+    base = documents.select(
+        F.col(id_col).alias("id"), F.md5(normalized(F.col(text_col))).alias("fp")
+    )
+    listed = F.col("id")
+    if max_group_ids is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(Window.partitionBy("fp").orderBy("id"))
+        base = base.withColumn("_rn", rn)
+        listed = F.when(F.col("_rn") <= max_group_ids, F.col("id"))
     return (
-        documents.select(F.col(id_col).alias("id"), F.md5(normalized(F.col(text_col))).alias("fp"))
-        .groupBy("fp")
+        base.groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("id").alias("keep_id"),
-            F.array_sort(F.collect_list("id")).alias("dup_ids"),
+            F.array_sort(F.collect_list(listed)).alias("dup_ids"),
         )
         .filter(F.col("n_docs") >= 2)
     )
@@ -128,22 +150,19 @@ def minhash_signature(shingle_col, k: int = 32, hasher: str = "xxhash64"):
     )
 
 
-def minhash_candidates(
+def _banded(
     documents: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
-    max_bucket: int = 64,
-    hasher: str = "xxhash64",
-) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) + exact Jaccard over shingle sets.
-
-    band hash = xxhash64 of the band's slice of the signature; docs sharing
-    any band bucket become candidates; buckets larger than ``max_bucket``
-    are dropped (counted by the caller via the returned plan if needed) —
-    they are near-certain boilerplate clusters handled by exact dedup."""
+    id_col: str,
+    text_col: str,
+    k: int,
+    bands: int,
+    shingle_n: int,
+    hasher: str,
+):
+    """Shared LSH band construction: (docs-with-shingles, (id, band, bucket)
+    rows). Used by minhash_candidates (the pair generator) and
+    minhash_dropped_buckets (the coverage-loss report) so both see the
+    identical bucketing."""
     rows_per_band = k // bands
     d = documents.select(
         F.col(id_col).alias("id"),
@@ -178,6 +197,28 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return d, banded
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) + exact Jaccard over shingle sets.
+
+    band hash = xxhash64 of the band's slice of the signature; docs sharing
+    any band bucket become candidates; buckets larger than ``max_bucket``
+    are dropped — they are near-certain boilerplate clusters handled by
+    exact dedup. The drop is NOT observable from this function's output;
+    run ``minhash_dropped_buckets`` (same bucketing, one aggregate) to see
+    exactly which buckets the cap removed and how many ids each held."""
+    d, banded = _banded(documents, id_col, text_col, k, bands, shingle_n, hasher)
 
     from pyspark.sql import Window
 
@@ -206,6 +247,29 @@ def minhash_candidates(
     )
 
 
+def minhash_dropped_buckets(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Coverage-loss report for the ``max_bucket`` cap: (band, bucket,
+    n_ids) for every bucket minhash_candidates silently dropped with the
+    same parameters. Empty result = the cap removed nothing. Run this when
+    tuning thresholds/bands so a misconfiguration that drops most candidate
+    mass is visible instead of looking like clean data."""
+    _, banded = _banded(documents, id_col, text_col, k, bands, shingle_n, hasher)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket)
+    )
+
+
 def minhash_dedup_pairs(documents: DataFrame, threshold: float = 0.8, **kw) -> DataFrame:
     return minhash_candidates(documents, **kw).filter(F.col("jaccard") >= threshold)
 
@@ -218,6 +282,9 @@ def _simhash_batch(it):
     for pdf in it:
         out = np.empty(len(pdf), dtype=np.int64)
         for i, hashes in enumerate(pdf["token_hashes"]):
+            if hashes is None:  # NULL text → NULL token array: simhash 0,
+                out[i] = 0      # same as empty text (exact family parity)
+                continue
             h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
             if len(h) == 0:
                 out[i] = 0

@@ -77,22 +77,17 @@ def signature_col(vec_col, planes: np.ndarray):
     return out
 
 
-def lsh_topk(
-    embeddings: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    n_planes: int = 12,
-    multiprobe_bits: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: probe the query's LSH bucket (plus buckets at
-    Hamming distance ≤ multiprobe_bits), exact cosine inside."""
-    dim = len(query_vec)
-    planes = hyperplanes(dim, n_planes)
-    # sequential left-to-right double sum — the same accumulation order as
-    # the engine-side fold (and DuckDB's list_inner_product), so the sign of
-    # a near-zero dot product can't disagree across engines
+def _probe_set(query_vec, planes, multiprobe_bits: int) -> set[int]:
+    """Driver-side query signature + its Hamming ball (multiprobe LSH).
+    The ONE implementation both the unindexed and the indexed probe use —
+    drift between them would make the index disagree with its baseline.
+    The dot product is a sequential left-to-right double sum — the same
+    accumulation order as the engine-side fold (and DuckDB's
+    list_inner_product), so the sign of a near-zero dot product can't
+    disagree across engines. Supports multiprobe_bits in {0, 1, 2}."""
+    if multiprobe_bits not in (0, 1, 2):
+        raise ValueError(f"multiprobe_bits must be 0, 1 or 2, got {multiprobe_bits}")
+    n_planes = len(planes)
     qsig = int(
         sum(
             (1 << i)
@@ -109,6 +104,23 @@ def lsh_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         }
+    return probes
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (plus buckets at
+    Hamming distance ≤ multiprobe_bits), exact cosine inside."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes)
+    probes = _probe_set(query_vec, planes, multiprobe_bits)
 
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     bucketed = embeddings.withColumn("_sig", signature_col(F.col(vec_col), planes))
@@ -207,21 +219,7 @@ def lsh_topk_indexed(
     snap = table.snapshot(table.current_snapshot_id())
     meta = snap.meta
     planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
-    qsig = int(
-        sum(
-            (1 << i)
-            for i, p in enumerate(planes)
-            if sum(float(a) * float(b) for a, b in zip(query_vec, p)) > 0
-        )
-    )
-    n_planes = meta["n_planes"]
-    probes = {qsig}
-    if multiprobe_bits >= 1:
-        probes |= {qsig ^ (1 << i) for i in range(n_planes)}
-    if multiprobe_bits >= 2:
-        probes |= {
-            qsig ^ (1 << i) ^ (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
-        }
+    probes = _probe_set(query_vec, planes, multiprobe_bits)
     hit = table.read(spark, partition_values={str(s) for s in probes})
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (

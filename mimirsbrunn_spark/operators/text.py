@@ -70,7 +70,9 @@ def quality_score(col) -> Column:
 
 def lang_id(col) -> Column:
     """Marker-word language ID: the language with the most marker hits wins;
-    ties and zero hits → 'unknown'. Deterministic order of comparison."""
+    ties resolve to the EARLIEST language in LANG_MARKERS order (en before
+    de before fr — deterministic, and what the DuckDB gate twin mirrors);
+    zero hits → 'unknown'."""
     toks = tokens(col)
 
     def marker_hits(markers):
@@ -196,7 +198,12 @@ def strip_boilerplate(
     seg = docs.select(
         F.col(host_col).alias("host"),
         F.col(id_col).alias("id"),
-        F.posexplode(_segments(F.col(text_col))).alias("pos", "seg"),
+        # NULL text → NULL split → posexplode emits NO rows, silently
+        # disappearing the document; coalesce to '' so NULL-text docs keep
+        # the pinned contract (kept, clean_text='')
+        F.posexplode(
+            _segments(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "seg"),
     ).withColumn("seg_norm", F.trim(F.lower("seg")))
     marked = seg.join(boiler, ["host", "seg_norm"], "left")
     return (
@@ -227,11 +234,24 @@ def strip_boilerplate(
 # ---------------------------------------------------------------------------
 
 
+def _gopher_tokens(text_col):
+    """Tokenizer shared by the four Gopher rule helpers. NB: deliberately
+    NOT tokens() — empty text splits to [''] (size 1), the semantics the
+    hand-written DuckDB gate twins mirror (string_split('') = ['']); the
+    empty case is separately handled inside each rule (mean_word_length
+    pins 0.0, repetition needs >= n tokens, the ratios divide by
+    greatest(size, 1)), so the ['']-vs-[] difference never leaks into a
+    rule verdict."""
+    from pyspark.sql import functions as F
+
+    return F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+
+
 def mean_word_length(text_col):
     """Mean token length over whitespace tokens (0 for empty text)."""
     from pyspark.sql import functions as F
 
-    toks = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+    toks = _gopher_tokens(text_col)
     total = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
@@ -246,7 +266,7 @@ def repetition_ratio(text_col, n: int = 2):
     0 when fewer than n tokens."""
     from pyspark.sql import functions as F
 
-    toks = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+    toks = _gopher_tokens(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     enough = F.size(toks) >= n
@@ -261,7 +281,7 @@ def symbol_word_ratio(text_col, symbols: str = "#…"):
 
     cls = "".join("\\" + c for c in symbols)
     n_sym = F.length(text_col) - F.length(F.regexp_replace(text_col, f"[{cls}]", ""))
-    toks = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+    toks = _gopher_tokens(text_col)
     return n_sym / F.greatest(F.size(toks), F.lit(1))
 
 
@@ -270,7 +290,7 @@ def alpha_word_ratio(text_col):
     (the Gopher 80%-alpha-words rule)."""
     from pyspark.sql import functions as F
 
-    toks = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+    toks = _gopher_tokens(text_col)
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
     return n_alpha / F.greatest(F.size(toks), F.lit(1))
 

@@ -212,10 +212,14 @@ def run_stream_to_table(
     table: SnapshotTable,
     checkpoint_dir: str,
     available_now: bool = True,
-) -> None:
+):
     """Drain the stream into a SnapshotTable via foreachBatch append-commits
     (one atomic snapshot per micro-batch — resumable from the streaming
-    checkpoint AND inspectable via table time travel).
+    checkpoint AND inspectable via table time travel). Returns the
+    StreamingQuery handle: None for availableNow (already drained and
+    terminated), the LIVE query for continuous mode — the caller must keep
+    it and awaitTermination()/stop(), otherwise a spark-submit driver would
+    return immediately and kill the just-started stream.
 
     Each batch commits with the SAME serving layout as the batch job's
     series table (the rollup_job SERVING_STATS/SERVING_CLUSTER constants):
@@ -249,5 +253,5 @@ def run_stream_to_table(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-    else:  # pragma: no cover - continuous mode is deploy-time only
-        writer.start()
+        return None
+    return writer.start()  # pragma: no cover - continuous mode is deploy-time only

@@ -111,3 +111,28 @@ def test_multi_chunk_roundtrip(spark, pages_df, pages_pdf):
         w[["host", "bucket_ts", "doc_count", "bytes_sum"]],
         check_dtype=False,
     )
+
+
+def test_chunk_partition_col_matches_driver_twin_beyond_9999_buckets(spark):
+    """The Spark-side partition key and the driver-side probe twin must
+    agree for host_buckets > 9999: printf-style %04d zero-pads to a MINIMUM
+    width (no truncation), while the old lpad SHORTENED 5-digit buckets to
+    4 chars — written partition '1234|…' vs probed '12345|…' = rows
+    silently unreachable by read_chunks."""
+    import datetime as dt
+
+    from mimirsbrunn_spark.codecs import chunk_host_bucket, chunk_partition_col
+
+    hosts = [f"host-{i:03d}.example.com" for i in range(40)]
+    df = spark.createDataFrame(
+        [(h, dt.datetime(2024, 1, 1)) for h in hosts],
+        "host string, chunk_start timestamp",
+    )
+    for buckets in (64, 20000):
+        got = {
+            r.host: r.pk
+            for r in df.withColumn("pk", chunk_partition_col(buckets)).collect()
+        }
+        for h in hosts:
+            want = f"{chunk_host_bucket(h, buckets)}|2024-01"
+            assert got[h] == want, (h, buckets, got[h], want)

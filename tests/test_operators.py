@@ -66,6 +66,57 @@ def test_simhash_hamming(docs):
     assert (1, 2) in pairs and (1, 3) in pairs
 
 
+def test_null_text_docs_survive_every_family(spark):
+    """NULL text must not crash or disappear documents anywhere: simhash
+    yields 0 (empty-text parity, previously a TypeError in the numpy
+    kernel), exact dedup groups NULLs like empty strings, and
+    strip_boilerplate keeps the doc with clean_text='' (previously
+    posexplode(NULL) silently dropped it)."""
+    from mimirsbrunn_spark.operators.text import strip_boilerplate
+
+    d = spark.createDataFrame(
+        [(1, None, "h1"), (2, "real text here", "h1"), (3, None, "h2")],
+        "doc_id long, text string, source string",
+    )
+    sh = {r.id: r.simhash for r in dedup.simhash(d).collect()}
+    assert sh[1] == 0 and sh[3] == 0 and sh[2] != 0
+    out = {r.doc_id: r.clean_text for r in
+           strip_boilerplate(d, min_host_docs=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == "" and out[3] == ""
+
+
+def test_exact_groups_cap_bounds_listing(spark):
+    """max_group_ids caps dup_ids (smallest N, deterministic) while
+    n_docs/keep_id stay exact over the full group."""
+    d = spark.createDataFrame(
+        [(i, "same text") for i in range(10)] + [(100, "unique")],
+        "doc_id long, text string",
+    )
+    full = dedup.exact_groups(d).collect()
+    assert len(full) == 1 and len(full[0].dup_ids) == 10
+    capped = dedup.exact_groups(d, max_group_ids=3).collect()[0]
+    assert capped.n_docs == 10 and capped.keep_id == 0
+    assert capped.dup_ids == [0, 1, 2]
+
+
+def test_minhash_dropped_buckets_report(spark):
+    """The max_bucket cap's coverage loss is observable: the report lists
+    exactly the buckets the candidate generator silently dropped."""
+    d = spark.createDataFrame(
+        [(i, "common boilerplate page text repeated") for i in range(8)]
+        + [(100, "something completely different entirely")],
+        "doc_id long, text string",
+    )
+    kw = dict(k=16, bands=4, max_bucket=4)
+    pairs = dedup.minhash_candidates(d, **kw).collect()
+    assert not any(r.id_a < 100 and r.id_b < 100 for r in pairs)  # capped away
+    dropped = dedup.minhash_dropped_buckets(d, **kw).collect()
+    assert dropped and all(r.n_ids == 8 for r in dropped)
+    # and with a roomier cap nothing is dropped
+    assert not dedup.minhash_dropped_buckets(d, k=16, bands=4, max_bucket=64).collect()
+
+
 def test_ngram_jaccard_verify(docs, spark):
     cands = spark.createDataFrame([(1, 4), (1, 6)], "id_a long, id_b long")
     out = {(r.id_a, r.id_b): r.ngram_jaccard for r in dedup.ngram_jaccard_pairs(cands, docs).collect()}
