@@ -857,6 +857,10 @@ def core_queries() -> dict:
         "anomaly_zscore": q_anomaly_zscore,
         "forecast_naive": q_forecast_naive,
         "range_total_stitched": q_range_total_stitched,
+        "series_corr": q_series_corr,
+        "idelta_1h": q_idelta_1h,
+        "sliding_1h_15m": q_sliding_1h_15m,
+        "cohort_retention": q_cohort_retention,
     }
     return qs
 
@@ -887,6 +891,10 @@ def core_oracle_sql() -> dict:
         "anomaly_zscore": SQL_ANOMALY_ZSCORE,
         "forecast_naive": SQL_FORECAST_NAIVE,
         "range_total_stitched": SQL_RANGE_TOTAL_STITCHED,
+        "series_corr": SQL_SERIES_CORR,
+        "idelta_1h": SQL_IDELTA_1H,
+        "sliding_1h_15m": SQL_SLIDING_1H_15M,
+        "cohort_retention": SQL_COHORT_RETENTION,
     }
 
 def q_gapfill_lang_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,3 +994,156 @@ FROM pages
 GROUP BY 1, 2
 """
 
+
+
+# ---------------------------------------------------------------------------
+# round 4 additions: two-series stats, instantaneous delta, hopping windows,
+# cohort retention (operators/stats.py, counters.idelta, operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson corr + OLS slope/intercept of (doc_count, bytes_sum) across
+    each host's hourly buckets (operators/stats.py series_corr — exact
+    BIGINT sufficient statistics, one IEEE formula per host)."""
+    from .operators.stats import series_corr
+
+    hb = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 3600))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("page_size").alias("bytes_sum"),
+        )
+    )
+    return series_corr(hb, ["host"], "doc_count", "bytes_sum")
+
+
+SQL_SERIES_CORR = f"""
+WITH {PAGES_CTE},
+hb AS (
+  SELECT host,
+         warc_sec - (warc_sec % 3600)   AS bucket_sec,
+         CAST(COUNT(*) AS BIGINT)       AS x,
+         CAST(SUM(page_size) AS BIGINT) AS y
+  FROM pages GROUP BY 1, 2
+),
+s AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT)   AS n,
+         CAST(SUM(x) AS BIGINT)     AS sx,
+         CAST(SUM(y) AS BIGINT)     AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM hb GROUP BY 1
+),
+d AS (
+  SELECT host, n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y,
+         CAST(sx AS DOUBLE) AS dsx,
+         CAST(sy AS DOUBLE) AS dsy,
+         CAST(n AS DOUBLE)  AS dn
+  FROM s WHERE n >= 2
+),
+sl AS (
+  SELECT host, n, dsx, dsy, dn,
+         cov_n / NULLIF(sqrt(var_x) * sqrt(var_y), 0.0) AS corr,
+         cov_n / NULLIF(var_x, 0.0)                     AS slope
+  FROM d
+)
+SELECT host, n, corr, slope,
+       (dsy - slope * dsx) / dn AS intercept
+FROM sl
+"""
+
+
+def q_idelta_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instantaneous hourly delta/rate of the per-host minutely byte series
+    (counters.idelta — last two samples inside each (host, hour))."""
+    from .operators.counters import idelta
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 60))
+        .agg(F.sum("page_size").alias("b"))
+        .withColumnRenamed("bucket_sec", "ts_sec")
+    )
+    return idelta(hs, ["host"], bucket_sec=3600, ts_col="ts_sec", value_col="b")
+
+
+SQL_IDELTA_1H = f"""
+WITH {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 60) AS ts_sec,
+         CAST(SUM(page_size) AS BIGINT) AS b
+  FROM pages GROUP BY 1, 2
+),
+l AS (
+  SELECT host, ts_sec - (ts_sec % 3600) AS bucket_ts_sec, ts_sec, b,
+         LAG(b)      OVER (PARTITION BY host, ts_sec - (ts_sec % 3600)
+                           ORDER BY ts_sec) AS pv,
+         LAG(ts_sec) OVER (PARTITION BY host, ts_sec - (ts_sec % 3600)
+                           ORDER BY ts_sec) AS pt,
+         ROW_NUMBER() OVER (PARTITION BY host, ts_sec - (ts_sec % 3600)
+                            ORDER BY ts_sec DESC) AS rn
+  FROM hs
+)
+SELECT host, bucket_ts_sec,
+       CAST(b - pv AS BIGINT) AS idelta,
+       CAST(b - pv AS DOUBLE) / CAST(NULLIF(ts_sec - pt, 0) AS DOUBLE) AS irate
+FROM l
+WHERE rn = 1 AND pv IS NOT NULL
+"""
+
+
+def q_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window counts/byte sums per host: 1h window advancing every
+    15m (operators/analytics.py hopping_window_agg — explicit explode
+    fan-out absorbed by map-side combine)."""
+    from .operators.analytics import hopping_window_agg
+
+    p = pages_df(spark, sf_dir).withColumnRenamed("warc_sec", "ts_sec")
+    return hopping_window_agg(
+        p, ["host"], window_sec=3600, hop_sec=900, value_col="page_size"
+    )
+
+
+SQL_SLIDING_1H_15M = f"""
+WITH {PAGES_CTE}
+SELECT host,
+       (warc_sec - (warc_sec % 900)) - j * 900 AS window_start_sec,
+       CAST(COUNT(*) AS BIGINT)                AS doc_count,
+       CAST(SUM(page_size) AS BIGINT)          AS value_sum
+FROM pages, UNNEST([0, 1, 2, 3]) AS t(j)
+GROUP BY 1, 2
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly first-seen cohort retention triangle over the pages stream
+    (operators/analytics.py cohort_retention — exact distinct users per
+    (cohort week, week offset))."""
+    from .operators.analytics import cohort_retention
+
+    p = pages_df(spark, sf_dir).withColumnRenamed("warc_sec", "ts_sec")
+    return cohort_retention(p, "user_id", ts_col="ts_sec", period_sec=604_800)
+
+
+SQL_COHORT_RETENTION = f"""
+WITH {PAGES_CTE},
+f AS (
+  SELECT user_id, MIN(warc_sec) AS first_ts FROM pages GROUP BY 1
+)
+SELECT (f.first_ts - (f.first_ts % 604800)) AS cohort_sec,
+       ((p.warc_sec - (p.warc_sec % 604800))
+         - (f.first_ts - (f.first_ts % 604800))) // 604800 AS period_offset,
+       CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS users
+FROM pages p JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

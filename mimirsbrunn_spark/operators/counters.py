@@ -227,3 +227,49 @@ def heartbeat_uptime(
             F.max(ts_col).alias("last_ts"),
         )
     )
+
+
+def idelta(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_sec: int,
+    ts_col: str = "ts_sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Instantaneous delta/rate per bucket (TimescaleDB ``idelta_right`` /
+    Prometheus ``irate``): the difference between the LAST TWO samples
+    inside each (key, bucket) window, and that difference divided by their
+    time gap. Buckets holding fewer than two samples are dropped (the
+    instantaneous delta is undefined there — emitting NULLs would just
+    push the emptiness downstream). Output: (keys, bucket_ts_sec, idelta,
+    irate).
+
+    Both window functions share one partitioning (keys + bucket, ordered
+    by ts) — a single Exchange; the final filter keeps one row per
+    qualifying bucket. Integer lag math + one division per output row
+    (cross-engine float rule, gate.py docstring).
+    """
+    bucket = (F.col(ts_col) - F.col(ts_col) % bucket_sec).alias("bucket_ts_sec")
+    rows = df.select(*key_cols, bucket, F.col(ts_col), F.col(value_col))
+    # ONE ascending window for lag, row_number AND count — a desc window for
+    # "last row" would break ties differently from the asc lag under
+    # duplicate timestamps and could select the first row (NULL prev)
+    w = Window.partitionBy(*key_cols, "bucket_ts_sec").orderBy(ts_col)
+    wall = Window.partitionBy(*key_cols, "bucket_ts_sec")
+    prev_v = F.lag(value_col).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    is_last = F.row_number().over(w) == F.count(F.lit(1)).over(wall)
+    d = F.col(value_col) - prev_v
+    dt = F.col(ts_col) - prev_t
+    return (
+        rows.select(
+            *key_cols,
+            "bucket_ts_sec",
+            d.alias("idelta"),
+            (d.cast("double") / F.nullif(dt, F.lit(0)).cast("double")).alias("irate"),
+            prev_v.alias("_pv"),
+            is_last.alias("_last"),
+        )
+        .where(F.col("_last") & F.col("_pv").isNotNull())
+        .drop("_pv", "_last")
+    )

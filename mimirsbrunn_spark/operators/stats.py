@@ -1,0 +1,102 @@
+"""Two-series statistical aggregates (correlation / linear regression) —
+TimescaleDB ``stats_agg`` 2D: ``corr``, ``slope``, ``intercept`` over paired
+observations per series key.
+
+Why not ``F.corr``/``F.covar_samp``: those accumulate FLOAT sums whose value
+depends on reduction order — fine for analytics, not value-hashable against
+a single-threaded oracle. This engine's cross-engine float rule (gate.py
+docstring) is "integer sufficient statistics, one float formula per output
+row": we aggregate the six exact BIGINT sufficient statistics
+(n, Σx, Σy, Σx², Σy², Σxy) in ONE map-side-combinable groupBy, cast each to
+DOUBLE, and evaluate the textbook formulas with IEEE ops (×, −, /, √ are
+all correctly rounded) — bit-identical on any partitioning, any engine.
+
+Partial-aggregatable by construction: the six sums merge associatively, so
+Spark's HashAggregate does map-side combine and the shuffle carries one row
+per (key, partial) — at 100 TB the exchange is O(keys), not O(rows). The
+same six-sum representation is what a rollup tier would STORE to make corr
+a continuous aggregate (merge = add the sums), mirroring how tiers.py
+cascades count/sum.
+
+Reference analog: the reference blends two per-document signals into one
+score at read time (libs/mimir/src/objects.rs weight + query.rs
+field_value_factor); corr/slope is the timeseries-tier analog relating two
+per-key series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def series_stats2d(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact integer sufficient statistics per key:
+    (keys, n, sx, sy, sxx, syy, sxy) — all BIGINT. ``x_col``/``y_col`` must
+    be integral (cast upstream); overflow guard is the caller's contract
+    (Σx² of 64-bit inputs — the engine's series values are counts/byte
+    sums, ≪ 2³¹ per bucket, so Σx² stays ≪ 2⁶³).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+
+
+def _corr_cols(stats: DataFrame) -> tuple[Column, Column, Column]:
+    """corr / slope / intercept from the six exact stats, evaluated in
+    DOUBLE with a fixed operation order (mirrored verbatim in the SQL
+    oracle). Degenerate series (zero variance in x or y) yield NULL corr;
+    zero x-variance yields NULL slope/intercept."""
+    dn = F.col("n").cast("double")
+    dsx = F.col("sx").cast("double")
+    dsy = F.col("sy").cast("double")
+    dsxx = F.col("sxx").cast("double")
+    dsyy = F.col("syy").cast("double")
+    dsxy = F.col("sxy").cast("double")
+    cov_n = dn * dsxy - dsx * dsy  # n² · covariance
+    var_x = dn * dsxx - dsx * dsx  # n² · variance(x)
+    var_y = dn * dsyy - dsy * dsy
+    corr = cov_n / F.nullif(F.sqrt(var_x) * F.sqrt(var_y), F.lit(0.0))
+    slope = cov_n / F.nullif(var_x, F.lit(0.0))
+    intercept = (dsy - slope * dsx) / dn
+    return corr, slope, intercept
+
+
+def series_corr(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """(keys, n, corr, slope, intercept) per key — Pearson correlation and
+    OLS y-on-x regression of two integral series columns. Keys with fewer
+    than ``min_points`` paired observations are dropped (corr undefined).
+
+    One shuffle (the stats groupBy, map-side combined); the formulas are
+    per-row projections on the aggregated row.
+    """
+    stats = series_stats2d(df, key_cols, x_col, y_col)
+    corr, slope, intercept = _corr_cols(stats)
+    return (
+        stats.where(F.col("n") >= min_points)
+        .select(
+            *key_cols,
+            "n",
+            corr.alias("corr"),
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+        )
+    )
