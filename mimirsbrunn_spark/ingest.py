@@ -42,7 +42,15 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Scan the pages table. With real Iceberg this is
     ``spark.read.table("pages")``; the sandbox uses parquet paths. Column
     pruning + predicate pushdown are Catalyst's (verified in tests via
-    .explain containing PushedFilters/ReadSchema)."""
+    .explain containing PushedFilters/ReadSchema).
+
+    Naive parquet timestamps must be read as UTC instants: under a vanilla
+    session (no get_spark confs — exactly what a driver harness or
+    spark-submit default gives you) Spark 4 infers TIMESTAMP_NTZ, which
+    breaks every epoch-second cast downstream. Pin the conf here, at the
+    scan seam, like gate._table does (same tz discipline, SURVEY.md §7.5)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark.read.parquet(path)
 
 

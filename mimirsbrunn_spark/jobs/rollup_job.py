@@ -300,6 +300,13 @@ def run_rollup_job(
     enables the retention stage with that clock (kept explicit/deterministic
     rather than wall-clock so tests and backfills are reproducible)."""
     cfg = config or EngineConfig()
+    # The codec stage runs applyInPandas — under an arbitrary session
+    # (driver harness, bare spark-submit without --py-files) the Python
+    # workers can't import this package unless it ships as a pyfile. Same
+    # seam the gates use; idempotent, no-op when --py-files already did it.
+    from .. import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     # table_factory: name -> TableIO backend (tableio.TableIO protocol).
     # Default = the sandbox SnapshotTable format; pass
     # ``lambda n: IcebergTable(spark, f"cat.db.{n}", ...)`` to publish to a

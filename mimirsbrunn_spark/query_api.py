@@ -256,6 +256,35 @@ def read_forecast(
     )
 
 
+def read_corr(
+    spark: SparkSession,
+    out_dir: str,
+    t0: int,
+    t1: int,
+    hosts: list[str] | None = None,
+    x_metric: str = "doc_count",
+    y_metric: str = "bytes_sum",
+    tier: str | None = None,
+    min_points: int = 2,
+) -> DataFrame:
+    """Two-metric correlation over the published tiers: pruned tier read
+    (auto-routed unless given) → host series of the two integral metrics →
+    ``operators/stats.series_corr`` per host. Output: (host, n, corr,
+    slope, intercept).
+
+    Scale shape: the only full-data pass is the pruned tier scan; the
+    sufficient-stats groupBy map-side-combines down to one row per host
+    before the Exchange."""
+    from .operators.stats import series_corr
+
+    tier = tier or pick_tier(t0, t1)
+    df = read_rollup(spark, out_dir, tier, t0=t0, t1=t1, hosts=hosts)
+    hs = df.groupBy("host", "bucket_ts").agg(
+        F.sum(x_metric).alias("_x"), F.sum(y_metric).alias("_y")
+    )
+    return series_corr(hs, ["host"], "_x", "_y", min_points=min_points)
+
+
 def read_gapfill(
     spark: SparkSession,
     out_dir: str,

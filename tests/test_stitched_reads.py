@@ -268,3 +268,40 @@ def test_read_anomaly_and_forecast_serving(spark, published):
     got_fc = read_forecast(spark, published, tier="1h")
     assert got_fc.count() == want_fc.count() > 0
     assert got_fc.exceptAll(want_fc).count() == 0
+
+
+def test_read_corr_serving_equals_operator_on_unpruned_series(spark, published):
+    """read_corr (pruned tier read → series_corr) == the operator over the
+    UNPRUNED published series restricted to the same range — pruning and
+    tier routing must not change the sufficient statistics."""
+    from mimirsbrunn_spark.operators.stats import series_corr
+    from mimirsbrunn_spark.query_api import read_corr, read_rollup
+    from mimirsbrunn_spark.tables import SnapshotTable
+
+    s = SnapshotTable(f"{published}/series_1m").read(spark)
+    mn, mx = s.agg(
+        F.min(F.col("bucket_ts").cast("long")), F.max(F.col("bucket_ts").cast("long"))
+    ).first()
+    t0, t1, tier = mn, mx + 60, "1h"
+
+    hs = (
+        read_rollup(spark, published, tier, t0=t0, t1=t1)
+        .groupBy("host", "bucket_ts")
+        .agg(F.sum("doc_count").alias("_x"), F.sum("bytes_sum").alias("_y"))
+    )
+    want = series_corr(hs, ["host"], "_x", "_y")
+    got = read_corr(spark, published, t0, t1, tier=tier)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # corr is a genuine correlation: every value in [-1, 1]
+    import math
+
+    for r in got.collect():
+        if r["corr"] is not None:
+            assert -1.0 - 1e-12 <= r["corr"] <= 1.0 + 1e-12
+            assert math.isfinite(r["corr"])
+
+    # host subset serves only those hosts
+    hosts = [r[0] for r in s.select("host").distinct().limit(2).collect()]
+    sub = read_corr(spark, published, t0, t1, hosts=hosts, tier=tier)
+    assert {r["host"] for r in sub.collect()} <= set(hosts)
