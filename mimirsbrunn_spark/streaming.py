@@ -255,3 +255,35 @@ def run_stream_to_table(
         q.awaitTermination()
         return None
     return writer.start()  # pragma: no cover - continuous mode is deploy-time only
+
+
+def stream_hopping(
+    spark: SparkSession,
+    pages_dir: str,
+    window: str = "1 hour",
+    hop: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming hopping (sliding) windows per host: doc_count + bytes_sum
+    over a ``window`` that advances every ``hop`` — the streaming twin of
+    operators/analytics.hopping_window_agg. Uses the built-in sliding
+    ``F.window`` (same epoch-aligned window-start set as the batch
+    operator's explode enumeration, so a bounded drain equals the batch
+    result row-for-row — pinned in tests). Append mode after the
+    watermark; state is one partial aggregate per open (host, window),
+    bounded by watermark horizon × window/hop."""
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    p = with_host(pages.withWatermark("warc_ts", watermark))
+    return (
+        p.groupBy(F.col("host"), F.window("warc_ts", window, hop).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("page_size").alias("value_sum"),
+        )
+        .select(
+            "host",
+            F.col("w.start").cast("long").alias("window_start_sec"),
+            "doc_count",
+            "value_sum",
+        )
+    )

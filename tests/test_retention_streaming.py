@@ -996,3 +996,86 @@ def test_anomaly_fn_multi_chunk_out_of_order(spark):
     assert res["late_dropped"].sum() == 0
     # minute 3 stays open in state
     assert state.get[2] == 3  # cur_min
+
+
+def test_streaming_hopping_equals_batch_operator(
+    spark, small_pages_path, small_pages_pdf, tmp_path
+):
+    """stream_hopping (built-in sliding F.window, availableNow drain) must
+    equal the batch hopping_window_agg (explode enumeration) row-for-row —
+    the two window-start constructions are the same epoch-aligned set.
+    Same watermark-closing sentinel pattern as test_streaming_equals_batch."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_spark.ingest import with_host
+    from mimirsbrunn_spark.operators.analytics import hopping_window_agg
+    from mimirsbrunn_spark.streaming import stream_hopping
+
+    stream_dir = str(tmp_path / "hop_in")
+    shutil.copytree(small_pages_path, stream_dir)
+    sentinel_ts = small_pages_pdf["warc_ts"].max() + pd.Timedelta(days=1)
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
+    sentinel = pd.DataFrame(
+        {
+            "url": ["https://zzz-sentinel.invalid/close"],
+            "warc_ts": [sentinel_ts],
+            "html": [b""],
+            "text": [""],
+            "lang": ["unknown"],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(sentinel, schema=schema, preserve_index=False),
+        f"{stream_dir}/part-sentinel.parquet",
+    )
+
+    out_dir = str(tmp_path / "hop_out")
+    q = (
+        stream_hopping(spark, stream_dir)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "hop_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.read.parquet(out_dir)
+        .filter("host != 'zzz-sentinel.invalid'")
+        .toPandas()
+        .sort_values(["host", "window_start_sec"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    batch_pages = with_host(spark.read.parquet(small_pages_path)).select(
+        "host",
+        F.col("warc_ts").cast("long").alias("ts_sec"),
+        "page_size",
+    )
+    want = (
+        hopping_window_agg(
+            batch_pages, ["host"], window_sec=3600, hop_sec=900, value_col="page_size"
+        )
+        .withColumnRenamed("window_start_sec", "window_start_sec")
+        .toPandas()
+        .sort_values(["host", "window_start_sec"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got[["host", "window_start_sec", "doc_count", "value_sum"]],
+        want[["host", "window_start_sec", "doc_count", "value_sum"]],
+        check_dtype=False,
+    )
