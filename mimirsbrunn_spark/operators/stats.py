@@ -38,7 +38,10 @@ def series_stats2d(
 ) -> DataFrame:
     """Exact integer sufficient statistics per key:
     (keys, n, sx, sy, sxx, syy, sxy) — all BIGINT. ``x_col``/``y_col`` must
-    be integral (cast upstream); overflow guard is the caller's contract
+    be integral (cast upstream) and NON-NULL: ``n`` counts rows while the
+    sums skip NULLs, so a NULL observation would silently skew every
+    moment — drop or fill incomplete pairs upstream (the engine's series
+    metrics are never NULL). Overflow guard is the caller's contract
     (Σx² of 64-bit inputs — the engine's series values are counts/byte
     sums, ≪ 2³¹ per bucket, so Σx² stays ≪ 2⁶³).
     """
