@@ -861,6 +861,7 @@ def core_queries() -> dict:
         "idelta_1h": q_idelta_1h,
         "sliding_1h_15m": q_sliding_1h_15m,
         "cohort_retention": q_cohort_retention,
+        "corr_cascade": q_corr_cascade,
     }
     return qs
 
@@ -895,6 +896,7 @@ def core_oracle_sql() -> dict:
         "idelta_1h": SQL_IDELTA_1H,
         "sliding_1h_15m": SQL_SLIDING_1H_15M,
         "cohort_retention": SQL_COHORT_RETENTION,
+        "corr_cascade": SQL_CORR_CASCADE,
     }
 
 def q_gapfill_lang_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1146,4 +1148,65 @@ SELECT (f.first_ts - (f.first_ts % 604800)) AS cohort_sec,
        CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS users
 FROM pages p JOIN f USING (user_id)
 GROUP BY 1, 2
+"""
+
+
+def q_corr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate corr: minute observations → 1h six-sum stats →
+    1d → 30d cascade (operators/stats.py stats_rollup/stats_cascade) →
+    corr_from_stats. The oracle computes corr DIRECTLY over the minute
+    observations — equality IS the cascade's exact-merge invariant."""
+    from .operators.stats import corr_from_stats, stats_cascade, stats_rollup
+
+    p = pages_df(spark, sf_dir).select(
+        "host",
+        F.timestamp_seconds("warc_sec").alias("warc_ts"),
+        "page_size",
+    )
+    s1h = stats_rollup(p, "1h")
+    s30d = stats_cascade(stats_cascade(s1h, "1d"), "30d")
+    return corr_from_stats(s30d)
+
+
+SQL_CORR_CASCADE = f"""
+WITH {PAGES_CTE},
+obs AS (
+  SELECT host,
+         warc_sec - (warc_sec % 60)     AS m,
+         CAST(COUNT(*) AS BIGINT)       AS x,
+         CAST(SUM(page_size) AS BIGINT) AS y
+  FROM pages GROUP BY 1, 2
+),
+s AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT)   AS n,
+         CAST(SUM(x) AS BIGINT)     AS sx,
+         CAST(SUM(y) AS BIGINT)     AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM obs GROUP BY 1
+),
+d AS (
+  SELECT host, n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y,
+         CAST(sx AS DOUBLE) AS dsx,
+         CAST(sy AS DOUBLE) AS dsy,
+         CAST(n AS DOUBLE)  AS dn
+  FROM s WHERE n >= 2
+),
+sl AS (
+  SELECT host, n, dsx, dsy, dn,
+         cov_n / NULLIF(sqrt(var_x) * sqrt(var_y), 0.0) AS corr,
+         cov_n / NULLIF(var_x, 0.0)                     AS slope
+  FROM d
+)
+SELECT host, n, corr, slope,
+       (dsy - slope * dsx) / dn AS intercept
+FROM sl
 """

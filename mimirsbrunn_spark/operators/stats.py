@@ -103,3 +103,93 @@ def series_corr(
             intercept.alias("intercept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# continuous-aggregate form: per-bucket sufficient-stat tiers
+# ---------------------------------------------------------------------------
+# The six sums are associative, so a (host, bucket) stats row IS the
+# mergeable partial state of corr over any bucket-aligned range: parent
+# tiers add the child's sums (exact BIGINT — zero approximation gap, unlike
+# the HLL cascade), and corr over [t0, t1) is one groupBy over the pruned
+# tier read. Observations are the per-minute (doc_count, bytes_sum) points,
+# which nest exactly in every coarser tier (all steps are multiples of 60).
+
+STAT_COLS = ("n", "sx", "sy", "sxx", "syy", "sxy")
+
+
+def _tier_bucket(tier: str, ts_col: str = "bucket_ts"):
+    from ..series import TIER_SECONDS
+
+    sec = TIER_SECONDS[tier]
+    return F.timestamp_seconds(
+        (F.unix_timestamp(ts_col) / sec).cast("long") * sec
+    ).alias("bucket_ts")
+
+
+def stats_rollup(
+    pages: DataFrame,
+    tier: str,
+    by: tuple[str, ...] = ("host",),
+    ts_col: str = "warc_ts",
+    value_col: str = "page_size",
+) -> DataFrame:
+    """Six-sum stats of the minute observations (x = doc_count, y = sum of
+    ``value_col``) per (keys, ``tier`` bucket), from raw pages — the single
+    raw-data touch of the stats cascade. Output: (*by, bucket_ts, n, sx,
+    sy, sxx, syy, sxy). Two groupBys sharing the key prefix; only the
+    minute aggregation sees raw rows."""
+    minute = F.timestamp_seconds(
+        (F.unix_timestamp(ts_col) / 60).cast("long") * 60
+    ).alias("_m")
+    obs = (
+        pages.select(*by, minute, F.col(value_col).cast("long").alias("_v"))
+        .groupBy(*by, "_m")
+        .agg(F.count(F.lit(1)).alias("_x"), F.sum("_v").alias("_y"))
+    )
+    x, y = F.col("_x"), F.col("_y")
+    return (
+        obs.select(*by, F.col("_m").alias("bucket_ts"), "_x", "_y")
+        .groupBy(*by, _tier_bucket(tier))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+
+
+def stats_cascade(
+    stats_tier_df: DataFrame,
+    parent_tier: str,
+    by: tuple[str, ...] = ("host",),
+) -> DataFrame:
+    """Parent stats tier from a child stats tier by ADDING the six sums —
+    no raw data, and exactly equal to a direct parent build (integer
+    addition is associative; minute observations nest in every tier)."""
+    return stats_tier_df.groupBy(*by, _tier_bucket(parent_tier)).agg(
+        *[F.sum(c).alias(c) for c in STAT_COLS]
+    )
+
+
+def corr_from_stats(
+    stats_df: DataFrame,
+    by: tuple[str, ...] = ("host",),
+    min_points: int = 2,
+) -> DataFrame:
+    """(keys, n, corr, slope, intercept) over ANY set of stats rows —
+    merge the six sums per key, then the same IEEE formula series_corr
+    uses (shared _corr_cols, so tier-served corr is bit-identical to a
+    raw-series series_corr over the same observations)."""
+    merged = stats_df.groupBy(*by).agg(*[F.sum(c).alias(c) for c in STAT_COLS])
+    corr, slope, intercept = _corr_cols(merged)
+    return merged.where(F.col("n") >= min_points).select(
+        *by,
+        "n",
+        corr.alias("corr"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

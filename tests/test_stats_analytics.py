@@ -183,3 +183,97 @@ def test_series_corr_single_exchange(spark):
     # one aggregation shuffle; the formulas are projections, no extra pass
     assert plan.count("Exchange") <= 2  # partial/final HashAggregate pair
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------------ stats tiers
+
+
+@pytest.fixture(scope="module")
+def stats_published(spark, small_pages_path, tmp_path_factory):
+    from mimirsbrunn_spark.jobs.stats_job import run_stats_job
+
+    out = str(tmp_path_factory.mktemp("stats_pub"))
+    run_stats_job(spark, small_pages_path, out)
+    return out
+
+
+def test_stats_cascade_equals_direct_build(spark, small_pages_path, stats_published):
+    """Every cascaded tier's six sums equal a direct raw build of that tier
+    (integer addition is exact — no approximation gap)."""
+    from mimirsbrunn_spark.ingest import read_pages, with_host
+    from mimirsbrunn_spark.jobs.stats_job import STATS_TIERS, read_stats
+    from mimirsbrunn_spark.operators.stats import stats_rollup
+
+    pages = with_host(read_pages(spark, small_pages_path))
+    for tier in STATS_TIERS:
+        want = stats_rollup(pages, tier)
+        got = read_stats(spark, stats_published, tier)
+        assert got.count() == want.count() > 0, tier
+        assert got.exceptAll(want).count() == 0, tier
+
+
+def test_corr_range_from_tiers_equals_raw_series_corr(
+    spark, small_pages_path, stats_published
+):
+    """read_corr_range over published tiers == series_corr over the raw
+    minute observations in the same range — bit-identical (same sums, same
+    formula)."""
+    from mimirsbrunn_spark.ingest import read_pages, with_host
+    from mimirsbrunn_spark.jobs.stats_job import read_corr_range
+    from mimirsbrunn_spark.operators.stats import series_corr
+
+    pages = with_host(read_pages(spark, small_pages_path))
+    mn, mx = pages.agg(
+        F.min(F.col("warc_ts").cast("long")), F.max(F.col("warc_ts").cast("long"))
+    ).first()
+    t0 = (mn // 86400 + 1) * 86400  # 1d-aligned interior range
+    t1 = (mx // 86400) * 86400
+    assert t1 > t0
+
+    obs = (
+        pages.filter(
+            (F.col("warc_ts").cast("long") >= t0) & (F.col("warc_ts").cast("long") < t1)
+        )
+        .groupBy(
+            "host",
+            ((F.col("warc_ts").cast("long") / 60).cast("long") * 60).alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"), F.sum("page_size").alias("y"))
+    )
+    want = series_corr(obs, ["host"], "x", "y")
+    got = read_corr_range(spark, stats_published, t0, t1)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # and the auto-routed tier really pruned: a misaligned range raises
+    with pytest.raises(ValueError):
+        read_corr_range(spark, stats_published, t0 + 61, t1)
+
+
+def test_stats_job_incremental_refresh_equals_full(spark, small_pages_path, tmp_path):
+    """days=[...] incremental mode converges to the same tables as a full
+    rebuild (aux_refresh invalidation pattern)."""
+    from mimirsbrunn_spark.ingest import read_pages
+    from mimirsbrunn_spark.jobs.stats_job import STATS_TIERS, read_stats, run_stats_job
+
+    pages = read_pages(spark, small_pages_path)
+    days = sorted(
+        r[0]
+        for r in pages.select(F.date_format("warc_ts", "yyyy-MM-dd")).distinct().collect()
+    )
+    split = days[len(days) // 2]
+    early_dir = str(tmp_path / "early")
+    pages.filter(F.date_format("warc_ts", "yyyy-MM-dd") < split).write.parquet(early_dir)
+
+    inc = str(tmp_path / "inc")
+    run_stats_job(spark, early_dir, inc)
+    run_stats_job(
+        spark, small_pages_path, inc, days=[d for d in days if d >= split]
+    )
+
+    full = str(tmp_path / "full")
+    run_stats_job(spark, small_pages_path, full)
+    for tier in STATS_TIERS:
+        a = read_stats(spark, inc, tier)
+        b = read_stats(spark, full, tier)
+        assert a.count() == b.count() > 0, tier
+        assert a.exceptAll(b).count() == 0, tier
