@@ -76,17 +76,19 @@ def test_series_single_full_shuffle(pages_df):
     assert "REPARTITION_BY_COL" in p
 
 
-def test_gapfill_no_join_one_stacked_exchange(pages_df):
-    """gapfill must not join the spine (union + in-window dedup instead):
-    no join operator, and only 3 Exchanges downstream of the host series
-    (bounds agg, spine spread, the single stacked window shuffle)."""
+def test_gapfill_no_join_single_exchange(pages_df):
+    """gapfill must not join or union a spine: no Join operator, and exactly
+    ONE Exchange downstream of the host series — the window shuffle over the
+    observed rows. Gap buckets are emitted narrow (sequence+explode) by the
+    row that closes each gap; a second Exchange or a Union means the
+    single-window anchor design regressed."""
     from mimirsbrunn_spark import gapfill, series, tiers
 
     hs = tiers.host_series(tiers.rollup(series.series_1m(pages_df), "1h"))
     base_ex = plan_str(hs, "simple").count("Exchange")
     p = plan_str(gapfill.gapfill(hs, "1h"), "simple")
-    assert "Join" not in p
-    assert p.count("Exchange") == base_ex + 3
+    assert "Join" not in p and "Union" not in p
+    assert p.count("Exchange") == base_ex + 1
 
 
 def test_asof_and_sessions_single_shuffle(spark):
