@@ -85,6 +85,48 @@ def enumerate_days(spark, input_tbl, pages) -> list[str]:
     ]
 
 
+def _input_day_fingerprints(input_tbl) -> dict[str, int]:
+    """Per-day input fingerprint from the input MANIFEST alone: a stable
+    nonzero 63-bit hash of the day's sorted data-file list. Data files are
+    immutable and live under per-commit uuid dirs, so any append, rewrite,
+    replace, or compaction of a day changes its file set and therefore its
+    fingerprint — the late-data detection key for ``refresh_days='auto'``.
+    Driver-side manifest arithmetic, NO Spark job (Iceberg analog: the
+    per-partition data-file set from the ``.files`` metadata view)."""
+    import hashlib
+
+    snap = input_tbl.snapshot(input_tbl.current_snapshot_id())
+    by_day: dict[str, list[str]] = {}
+    for f in snap.files:
+        v = snap.partitions.get(f, "")
+        if v:
+            by_day.setdefault(v, []).append(f)
+    out = {}
+    for d, fs in by_day.items():
+        h = hashlib.sha256("\n".join(sorted(fs)).encode()).digest()
+        # >>1 keeps it in signed-long range for the lineage schema; |1
+        # keeps 0 reserved as "no fingerprint recorded"
+        out[d] = (int.from_bytes(h[:8], "big") >> 1) | 1
+    return out
+
+
+def _series_retention_watermark(series_tbl) -> str | None:
+    """Largest ISO day the series' retention stage has dropped below (max
+    ``dropped_below`` across snapshots), or None. Refreshing a day under
+    this watermark would resurrect expired data — and the next retention
+    run would silently re-expire it, leaving derived tiers rebuilt from a
+    window that flip-flops. The refresh path refuses such days."""
+    try:
+        marks = [
+            s.meta["dropped_below"]
+            for s in series_tbl.snapshots()
+            if "dropped_below" in s.meta
+        ]
+    except Exception:
+        return None
+    return max(marks) if marks else None
+
+
 def _derived_in_sync(tbl, series_tbl, series_sid) -> bool:
     """True iff the table's current snapshot reflects the given series
     snapshot: the recorded ``series_snapshot`` marker equals it, OR is an
@@ -273,6 +315,51 @@ def _manifest_max_below(tbl, bound: int):
     return max(below) if below else None
 
 
+def _truncation_watermark_epoch(tbl) -> int | None:
+    """Largest epoch second the table's retention has provably truncated
+    below, from surviving snapshot meta: expire_tier's ``retention_cutoff``
+    (epoch int) and the series stage's ISO-day ``dropped_below``. None =
+    no surviving evidence — either never truncated (a plain rebuild from
+    this source is exact) or the evidence was vacuumed (the caller falls
+    back to a content-based conservative floor)."""
+    import datetime as dt
+
+    best = None
+    try:
+        snaps = tbl.snapshots()
+    except Exception:
+        return None
+    for s in snaps:
+        rc = s.meta.get("retention_cutoff")
+        if isinstance(rc, (int, float)):
+            best = max(best or 0, int(rc))
+        db = s.meta.get("dropped_below")
+        if isinstance(db, str) and len(db) == 10:  # ISO day (series drops);
+            # tier drops record pkey-format keys here, covered by
+            # retention_cutoff in the same meta
+            try:
+                e = int(
+                    dt.datetime.fromisoformat(db)
+                    .replace(tzinfo=dt.timezone.utc)
+                    .timestamp()
+                )
+            except ValueError:
+                continue
+            best = max(best or 0, e)
+    return best
+
+
+def _tier_has_rows_strictly_below(spark, tbl, bound: int) -> bool:
+    """Does the tier hold any bucket strictly below ``bound``? Answered
+    from the manifest's bucket_ts zone maps; a bounded existence probe
+    runs only when a file straddles the bound or lacks stats."""
+    mx = _manifest_max_below(tbl, bound)
+    if mx is _STATS_INCONCLUSIVE:
+        sec = F.col("bucket_ts").cast("long")
+        return tbl.read(spark).filter(sec < bound).limit(1).count() > 0
+    return mx is not None
+
+
 def _checksum(df) -> str:
     """Deterministic order-independent content checksum: XOR of per-row
     xxhash64 over all columns (bit_xor is commutative + overflow-free,
@@ -292,13 +379,29 @@ def run_rollup_job(
     config: EngineConfig | None = None,
     retention_now_epoch: int | None = None,
     table_factory=None,
+    refresh_days: list | str | None = None,
 ) -> dict:
     """Run (or resume) the rollup job. Returns a summary dict.
 
     ``config`` carries every tuning knob (EngineConfig — layered TOML/CLI,
     the reference's settings-merge discipline). ``retention_now_epoch``
     enables the retention stage with that clock (kept explicit/deterministic
-    rather than wall-clock so tests and backfills are reproducible)."""
+    rather than wall-clock so tests and backfills are reproducible).
+
+    ``refresh_days`` is the BACKFILL path (the continuous-aggregate
+    targeted-refresh analog): days already committed to lineage are normally
+    skipped forever, so late data, re-crawls, or corrections landing in an
+    already-processed input day would never reach the published tiers.
+    Pass a list of ISO days to force-recompute them (drop + rebuild the 1m
+    series partition, new lineage row, derived tiers refresh incrementally
+    exactly as for new days), or ``"auto"`` to detect changed days by
+    comparing the input manifest's per-day file-set fingerprint against the
+    fingerprint recorded in lineage at processing time — driver-side
+    manifest arithmetic, no input scan. ``"auto"`` requires a manifest
+    input (SnapshotTable/Iceberg); a plain parquet path has no cheap
+    change signal, so explicit days are required there. Days at or below
+    the series retention watermark are refused (see
+    ``_series_retention_watermark``) and reported in the summary."""
     cfg = config or EngineConfig()
     # The codec stage runs applyInPandas — under an arbitrary session
     # (driver harness, bare spark-submit without --py-files) the Python
@@ -332,6 +435,55 @@ def run_rollup_job(
     days = enumerate_days(spark, input_tbl, pages)
     done = lineage.committed_partitions(spark)
     todo = [d for d in days if f"day={d}" not in done]
+
+    # Per-day input fingerprints (manifest inputs only): recorded into
+    # lineage.input_snapshot at processing time, compared on refresh='auto'.
+    input_fps = _input_day_fingerprints(input_tbl) if input_tbl is not None else {}
+
+    # Backfill: queue committed-but-changed days for recomputation. The
+    # loop body is already overwrite-idempotent (drop + re-append + new
+    # lineage row), so refreshed days ride the exact same code path as new
+    # days — including the derived stage's dirty-partition invalidation.
+    refused_refresh: list[str] = []
+    refreshed_days: list[str] = []
+    if refresh_days:
+        if refresh_days == "auto":
+            if input_tbl is None:
+                raise ValueError(
+                    "refresh_days='auto' needs a manifest input "
+                    "(SnapshotTable/Iceberg) — a plain parquet path has no "
+                    "cheap per-day change signal; pass explicit ISO days"
+                )
+            recorded = lineage.latest_input_fingerprints(spark)
+            cand = [
+                d
+                for d in days
+                if f"day={d}" in done
+                # 0 / absent = fingerprint never recorded → unknown, not
+                # a mismatch (refuse to guess; explicit days still work)
+                and recorded.get(f"day={d}", 0) != 0
+                and recorded[f"day={d}"] != input_fps.get(d)
+            ]
+        else:
+            cand = [d for d in refresh_days if f"day={d}" in done and d in set(days)]
+        watermark = _series_retention_watermark(series_tbl) if series_tbl.exists() else None
+        for d in cand:
+            if watermark is not None and d < watermark:
+                refused_refresh.append(d)  # expired by retention; see docstring
+            else:
+                refreshed_days.append(d)
+        todo = todo + [d for d in refreshed_days if d not in todo]
+        # crash-window discipline: un-mark the refresh days BEFORE touching
+        # their data, so a crash mid-recompute degrades into the ordinary
+        # resume path (reprocess) rather than a committed-but-dropped day
+        lineage.invalidate(spark, {f"day={d}" for d in refreshed_days})
+        if refused_refresh:
+            metrics.record(
+                spark,
+                job_id,
+                stage="refresh_refused_expired",
+                kv={"days": len(refused_refresh)},
+            )
 
     # Series snapshot BEFORE this run's appends: derived tables record the
     # series snapshot they were built from, so the derived stage can tell
@@ -381,7 +533,7 @@ def run_rollup_job(
         lineage.record(
             spark,
             partition_id=f"day={day}",
-            input_snapshot=0,
+            input_snapshot=input_fps.get(day, 0),
             output_snapshot=sid,
             row_count=day_rows,
             checksum=_checksum(series_tbl.read(spark, partition_min=day, partition_max=day)),
@@ -486,20 +638,42 @@ def run_rollup_job(
             pass  # backend without manifest introspection → plain rebuild
         prev_full = None
         src_min = series_min_epoch  # coverage lower bound of the source below
+        # truncation watermark of the source (None = no surviving evidence)
+        src_wm = _truncation_watermark_epoch(series_tbl) if src_min is not None else None
         for tier in ("1h", "1d", "30d"):
             tbl = tier_tables[f"rollup_{tier}"]
             src = base if prev_full is None else prev_full
             fresh = tiers.rollup(src, tier)
             # EVERY tier preserves its existing rows for buckets the source
-            # can't fully cover — not just 1h: once expire_tier has trimmed
-            # the 1h tier to its (90-day default) window, a 1d/30d rebuild
-            # from it alone would erase their longer history the same way a
-            # series-truncated 1h rebuild would. Coverage floor = first
-            # bucket starting at/after the source's oldest instant (bucket
-            # grids nest across tiers, all day-aligned).
+            # CANNOT REBUILD — and only those. Not just 1h: once expire_tier
+            # has trimmed the 1h tier to its (90-day default) window, a
+            # 1d/30d rebuild from it alone would erase their longer history
+            # the same way a series-truncated 1h rebuild would. The
+            # preservation floor is the source's retention TRUNCATION bound
+            # (surviving snapshot meta: expire_tier's retention_cutoff /
+            # the series stage's ISO-day dropped_below), NOT its min
+            # observed instant: flooring at the observed minimum would
+            # preserve the coarse bucket straddling the data's NATURAL
+            # start from the old tier, pinning a stale value whenever a
+            # backfill (refresh_days) legitimately rewrote history inside
+            # it. With no truncation evidence the fallback is content-based:
+            # preserve at the observed-min floor only when the tier provably
+            # holds buckets STRICTLY before the straddling one (pre-source
+            # history ⇒ a truncation whose evidence was vacuumed);
+            # otherwise the source covers everything the tier knows and the
+            # plain rebuild is exact.
+            step = series.TIER_SECONDS[tier]
+            floor_b = None
             if src_min is not None and tbl.exists():
-                step = series.TIER_SECONDS[tier]
-                floor_b = -(-src_min // step) * step
+                if src_min == _NOTHING_COVERED:
+                    floor_b = _NOTHING_COVERED
+                elif src_wm is not None:
+                    floor_b = -(-src_wm // step) * step
+                else:
+                    cand = -(-src_min // step) * step
+                    if _tier_has_rows_strictly_below(spark, tbl, cand - step):
+                        floor_b = cand
+            if floor_b is not None:
                 sec = F.col("bucket_ts").cast("long")
                 old = tbl.read(spark).select(*fresh.columns).filter(sec < floor_b)
                 # the preserved span must ABUT the rebuilt span: if the
@@ -516,7 +690,7 @@ def run_rollup_job(
                 # when they are conclusive — a Spark max() job over the
                 # tier runs only for straddling/stat-less files.)
                 old_max = None
-                if src_min != _NOTHING_COVERED:
+                if floor_b != _NOTHING_COVERED:
                     old_max = _manifest_max_below(tbl, floor_b)
                     if old_max is _STATS_INCONCLUSIVE:
                         old_max_row = old.agg(F.max(sec)).first()
@@ -553,6 +727,10 @@ def run_rollup_job(
                 row = prev_full.agg(F.min(F.col("bucket_ts").cast("long"))).first()
                 # empty tier content ⇒ the next tier can rebuild nothing
                 src_min = row[0] if row and row[0] is not None else _NOTHING_COVERED
+                # the next tier's source is THIS tier: its truncation is the
+                # tier's own expiry evidence (the preserve∪rebuild above
+                # already restored everything down to it)
+                src_wm = _truncation_watermark_epoch(tbl)
             hs = tiers.host_series(prev_full)
             tier_tables[f"gapfill_{tier}"].commit(
                 gapfill.gapfill(hs, tier).withColumn("pkey", tiers.partition_key_col(tier)),
@@ -633,6 +811,8 @@ def run_rollup_job(
         "days_total": len(days),
         "days_processed": processed,
         "days_skipped": len(days) - len(todo),
+        "days_refreshed": [d for d in refreshed_days if d in todo[:processed]],
+        "refresh_refused_expired": refused_refresh,
         # manifest arithmetic, not a table scan
         "series_rows": series_tbl.row_count(),
     }
@@ -667,6 +847,13 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
         "rather than wall-clock so backfills and replays are reproducible)",
     )
     ap.add_argument(
+        "--refresh-days",
+        default=None,
+        help="backfill: comma list of ISO days to force-recompute (late "
+        "data / corrections), or 'auto' to detect changed days from the "
+        "input manifest's per-day fingerprints (manifest inputs only)",
+    )
+    ap.add_argument(
         "--maintain",
         action="store_true",
         help="run table maintenance (layout-preserving compaction + "
@@ -682,6 +869,11 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
         args.job_id,
         config=cfg,
         retention_now_epoch=args.retention_now,
+        refresh_days=(
+            "auto"
+            if args.refresh_days == "auto"
+            else [d for d in (args.refresh_days or "").split(",") if d] or None
+        ),
     )
     summary["master"] = spark.sparkContext.master
     for agg in [a for a in args.aggregates.split(",") if a]:

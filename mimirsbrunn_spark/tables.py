@@ -721,6 +721,48 @@ class Lineage:
             r.partition_id for r in self.table.read(spark).select("partition_id").collect()
         }
 
+    def latest_input_fingerprints(self, spark: SparkSession) -> dict[str, int]:
+        """Latest recorded input fingerprint per partition (the late-data
+        detection key for ``refresh_days='auto'``). Recency = max
+        output_snapshot: snapshot ids are strictly increasing per commit,
+        unlike committed_at's second-resolution clock. Rows recording 0
+        predate fingerprinting (or a non-manifest input) and mean
+        "unknown" — the caller must not treat them as a mismatch."""
+        if not self.table.exists():
+            return {}
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.table.read(spark)
+            .groupBy("partition_id")
+            .agg(
+                F.max(F.struct("output_snapshot", "input_snapshot")).alias("s")
+            )
+            .select("partition_id", F.col("s.input_snapshot").alias("fp"))
+            .collect()
+        )
+        return {r.partition_id: r.fp for r in rows}
+
+    def invalidate(self, spark: SparkSession, partition_ids: set) -> None:
+        """Remove partitions from the ledger (the refresh pre-step): one
+        atomic replace-commit without those rows. Marking the day "not
+        done" BEFORE its data is touched closes the refresh crash window —
+        a crash anywhere mid-recompute leaves a day that simply reprocesses
+        through the normal idempotent resume path on the next run, instead
+        of a day whose series partition was dropped while lineage still
+        says done (a plain rerun would then skip it and the derived rebuild
+        would silently lose it)."""
+        if not partition_ids or not self.table.exists():
+            return
+        from pyspark.sql import functions as F
+
+        self.table.commit(
+            self.table.read(spark).filter(
+                ~F.col("partition_id").isin(sorted(partition_ids))
+            ),
+            mode="replace",
+        )
+
     def record(
         self,
         spark: SparkSession,
