@@ -397,11 +397,13 @@ def run_rollup_job(
     exactly as for new days), or ``"auto"`` to detect changed days by
     comparing the input manifest's per-day file-set fingerprint against the
     fingerprint recorded in lineage at processing time — driver-side
-    manifest arithmetic, no input scan. ``"auto"`` requires a manifest
-    input (SnapshotTable/Iceberg); a plain parquet path has no cheap
-    change signal, so explicit days are required there. Days at or below
-    the series retention watermark are refused (see
-    ``_series_retention_watermark``) and reported in the summary."""
+    manifest arithmetic, no input scan. ``"auto"`` requires a
+    day-partitioned manifest input (SnapshotTable/Iceberg); a plain
+    parquet path has no cheap change signal, so explicit days are
+    required there. Days strictly below the series retention watermark
+    are refused (see ``_series_retention_watermark``; the cutoff day
+    itself is intact and refreshable) and reported in the summary, as are
+    explicit days matching no input day (``refresh_unknown``)."""
     cfg = config or EngineConfig()
     # The codec stage runs applyInPandas — under an arbitrary session
     # (driver harness, bare spark-submit without --py-files) the Python
@@ -446,13 +448,15 @@ def run_rollup_job(
     # days — including the derived stage's dirty-partition invalidation.
     refused_refresh: list[str] = []
     refreshed_days: list[str] = []
+    unknown_refresh: list[str] = []
     if refresh_days:
         if refresh_days == "auto":
-            if input_tbl is None:
+            if input_tbl is None or not input_fps:
                 raise ValueError(
-                    "refresh_days='auto' needs a manifest input "
-                    "(SnapshotTable/Iceberg) — a plain parquet path has no "
-                    "cheap per-day change signal; pass explicit ISO days"
+                    "refresh_days='auto' needs a DAY-PARTITIONED manifest "
+                    "input (SnapshotTable/Iceberg) — a plain parquet path "
+                    "or an unpartitioned table has no cheap per-day change "
+                    "signal; pass explicit ISO days"
                 )
             recorded = lineage.latest_input_fingerprints(spark)
             cand = [
@@ -465,11 +469,35 @@ def run_rollup_job(
                 and recorded[f"day={d}"] != input_fps.get(d)
             ]
         else:
-            cand = [d for d in refresh_days if f"day={d}" in done and d in set(days)]
+            dayset = set(days)
+            # a requested day the input doesn't know is an operator typo or
+            # a vanished partition — surfaced, never silently dropped
+            unknown_refresh = [d for d in refresh_days if d not in dayset]
+            cand = [d for d in refresh_days if f"day={d}" in done and d in dayset]
         watermark = _series_retention_watermark(series_tbl) if series_tbl.exists() else None
+        # vacuum can erase the dropped_below evidence: any COMMITTED day
+        # whose series partition no longer survives below the oldest one
+        # standing can only have been retention-dropped — refuse those too
+        # (content-based fallback, same spirit as the rebuild floor's)
+        alive_floor = None
+        alive: set = set()
+        if watermark is None and series_tbl.exists():
+            try:
+                s_cur = series_tbl.snapshot(series_tbl.current_snapshot_id())
+                alive = {v for v in s_cur.partitions.values() if v}
+                alive_floor = min(alive) if alive else None
+            except (AttributeError, FileNotFoundError):
+                pass
         for d in cand:
             if watermark is not None and d < watermark:
                 refused_refresh.append(d)  # expired by retention; see docstring
+            elif (
+                watermark is None
+                and alive_floor is not None
+                and d < alive_floor
+                and d not in alive
+            ):
+                refused_refresh.append(d)  # evidence vacuumed; content says expired
             else:
                 refreshed_days.append(d)
         todo = todo + [d for d in refreshed_days if d not in todo]
@@ -671,7 +699,15 @@ def run_rollup_job(
                     floor_b = -(-src_wm // step) * step
                 else:
                     cand = -(-src_min // step) * step
-                    if _tier_has_rows_strictly_below(spark, tbl, cand - step):
+                    # pre-source bound = start of the bucket CONTAINING
+                    # src_min: equals cand−step when src_min straddles a
+                    # bucket, but cand itself when src_min is grid-aligned
+                    # (no straddling bucket — e.g. the 1h tier, whose
+                    # src_min is always a day start); probing cand−step
+                    # there would miss history in [cand−step, cand)
+                    if _tier_has_rows_strictly_below(
+                        spark, tbl, (src_min // step) * step
+                    ):
                         floor_b = cand
             if floor_b is not None:
                 sec = F.col("bucket_ts").cast("long")
@@ -813,6 +849,7 @@ def run_rollup_job(
         "days_skipped": len(days) - len(todo),
         "days_refreshed": [d for d in refreshed_days if d in todo[:processed]],
         "refresh_refused_expired": refused_refresh,
+        "refresh_unknown": unknown_refresh,
         # manifest arithmetic, not a table scan
         "series_rows": series_tbl.row_count(),
     }
@@ -872,7 +909,8 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
         refresh_days=(
             "auto"
             if args.refresh_days == "auto"
-            else [d for d in (args.refresh_days or "").split(",") if d] or None
+            else [d.strip() for d in (args.refresh_days or "").split(",") if d.strip()]
+            or None
         ),
     )
     summary["master"] = spark.sparkContext.master

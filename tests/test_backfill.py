@@ -166,6 +166,59 @@ def test_backfill_refuses_day_expired_by_retention(spark, small_pages_path, tmp_
     assert s2["days_refreshed"] == [ok_day] and s2["refresh_refused_expired"] == []
 
 
+def test_backfill_refusal_survives_vacuumed_evidence(spark, small_pages_path, tmp_path):
+    """vacuum can erase the dropped_below snapshots the watermark reads;
+    a committed day whose series partition no longer survives below the
+    oldest standing one must STILL be refused (content-based fallback) —
+    otherwise expired data gets resurrected and the next retention run
+    silently re-expires it."""
+    import numpy as np
+
+    from mimirsbrunn_spark import retention
+    from mimirsbrunn_spark.jobs.rollup_job import _series_retention_watermark
+    from mimirsbrunn_spark.synth import EPOCH_START
+
+    src_dir = str(tmp_path / "pages_tbl")
+    _publish_input(spark, small_pages_path, src_dir)
+    out = str(tmp_path / "out")
+    cfg = EngineConfig(retention={"1m": 2 * 86400})
+    now = int((EPOCH_START - np.datetime64(0, "s")).astype(int)) + 5 * 86400
+    run_rollup_job(spark, src_dir, out, config=cfg, retention_now_epoch=now)
+
+    # refresh a surviving day (adds snapshots past the drop), then vacuum
+    # down to the latest snapshot — the dropped_below evidence is gone
+    run_rollup_job(spark, src_dir, out, refresh_days=["2024-01-05"])
+    series_tbl = SnapshotTable(f"{out}/series_1m")
+    retention.vacuum(series_tbl, keep_snapshots=1)
+    assert _series_retention_watermark(series_tbl) is None
+
+    s = run_rollup_job(spark, src_dir, out, refresh_days=["2024-01-01"])
+    assert s["refresh_refused_expired"] == ["2024-01-01"]
+    assert s["days_processed"] == 0
+
+
+def test_backfill_unknown_day_and_unpartitioned_auto(spark, small_pages_path, tmp_path):
+    """Explicit days matching no input day are surfaced, not silently
+    dropped; 'auto' against an UNPARTITIONED snapshot input (no per-day
+    fingerprints) is refused like the parquet path."""
+    src_dir = str(tmp_path / "pages_tbl")
+    _publish_input(spark, small_pages_path, src_dir)
+    out = str(tmp_path / "out")
+    run_rollup_job(spark, src_dir, out)
+    s = run_rollup_job(spark, src_dir, out, refresh_days=["2024-13-99"])
+    assert s["refresh_unknown"] == ["2024-13-99"]
+    assert s["days_processed"] == 0 and s["days_refreshed"] == []
+
+    flat_dir = str(tmp_path / "pages_flat")
+    SnapshotTable(flat_dir).commit(
+        spark.read.parquet(small_pages_path), mode="replace"
+    )
+    out2 = str(tmp_path / "out_flat")
+    run_rollup_job(spark, flat_dir, out2)
+    with pytest.raises(ValueError, match="DAY-PARTITIONED"):
+        run_rollup_job(spark, flat_dir, out2, refresh_days="auto")
+
+
 def test_lineage_records_and_serves_fingerprints(spark, small_pages_path, tmp_path):
     """The manifest input's per-day fingerprints land in lineage
     (input_snapshot, latest row per partition wins) — the 'auto' key."""
