@@ -9,7 +9,7 @@ re-expressed Spark-first:
 - ``ingest``    — pages scan, host derivation, exact dedup, text invariant
 - ``series``    — base 1-minute series via salted two-stage aggregation
 - ``tiers``     — 1m → 1h → 1d → 30d continuous-aggregate cascade
-- ``gapfill``   — time-spine + locf + linear interpolation window fills
+- ``gapfill``   — dense bucket fill + locf + linear interpolation (one window pass)
 - ``codecs``    — delta-of-delta timestamps + Gorilla-XOR values (numpy kernels
                   inside Arrow-batched pandas UDFs; no per-row Python)
 - ``tables``    — snapshot table layer (atomic manifest commits, time travel,
