@@ -896,6 +896,14 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
         help="run table maintenance (layout-preserving compaction + "
         "snapshot vacuum) over the output dir after the rollup",
     )
+    ap.add_argument(
+        "--verify",
+        action="store_true",
+        help="run the publication consistency checker (jobs/verify_job) "
+        "over the output dir after the rollup — the reference's "
+        "validate-before-alias-swap lifecycle step; exits nonzero when "
+        "any check fails",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name=f"rollup_job[{args.job_id}]")
     cfg = EngineConfig.load(args.config)
@@ -934,6 +942,17 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
         from .maintenance_job import run_maintenance
 
         summary["maintenance"] = run_maintenance(spark, args.out)
+    if args.verify:
+        from .verify_job import verify_publication
+
+        report = verify_publication(spark, args.out)
+        summary["verify"] = {
+            "ok": report["ok"],
+            "failed": sorted(k for k, c in report["checks"].items() if not c.get("ok")),
+        }
+        if not report["ok"]:
+            print(summary)
+            raise SystemExit(2)
     print(summary)
 
 

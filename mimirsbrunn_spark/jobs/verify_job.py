@@ -233,6 +233,16 @@ def check_chunks_decode(
     return {"ok": n_bad == 0, "hosts": hosts, "mismatch_rows": n_bad}
 
 
+def _safe(fn, *args, **kw) -> dict:
+    """An fsck must report, never die: a data-level check over a table
+    whose files are gone raises from deep inside Spark — catch and turn it
+    into a failed check with the cause."""
+    try:
+        return fn(*args, **kw)
+    except Exception as e:  # noqa: BLE001 - any failure IS the finding
+        return {"ok": False, "error": f"{type(e).__name__}: {str(e)[:300]}"}
+
+
 def verify_publication(
     spark: SparkSession, out_dir: str, deep: bool = False, chunk_hosts: int = 3
 ) -> dict:
@@ -244,13 +254,17 @@ def verify_publication(
     for name in names:
         tbl = SnapshotTable(f"{out_dir}/{name}")
         if tbl.exists():
-            report["checks"][f"manifest:{name}"] = check_manifest(tbl, deep=deep)
-    report["checks"]["lineage"] = check_lineage(spark, out_dir)
+            report["checks"][f"manifest:{name}"] = _safe(check_manifest, tbl, deep=deep)
+    report["checks"]["lineage"] = _safe(check_lineage, spark, out_dir)
     for child in ("1h", "1d", "30d"):
-        report["checks"][f"tier:{child}"] = check_tier_consistency(spark, out_dir, child)
-        report["checks"][f"gapfill:{child}"] = check_gapfill_observed(spark, out_dir, child)
-        report["checks"][f"chunks:{child}"] = check_chunks_decode(
-            spark, out_dir, child, n_hosts=chunk_hosts
+        report["checks"][f"tier:{child}"] = _safe(
+            check_tier_consistency, spark, out_dir, child
+        )
+        report["checks"][f"gapfill:{child}"] = _safe(
+            check_gapfill_observed, spark, out_dir, child
+        )
+        report["checks"][f"chunks:{child}"] = _safe(
+            check_chunks_decode, spark, out_dir, child, n_hosts=chunk_hosts
         )
     report["ok"] = all(c.get("ok") for c in report["checks"].values())
     return report

@@ -35,6 +35,25 @@ def test_clean_publication_verifies(spark, published):
     assert report["checks"]["lineage"]["days"] == 5
 
 
+def test_cli_verify_flag(spark, small_pages_path, published):
+    """rollup_job --verify runs the checker post-publish and reports it in
+    the summary (exit 0 on a clean layout; the rollup itself is a no-op
+    rerun — every day is already in lineage)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "mimirsbrunn_spark.jobs.rollup_job",
+            "--pages", small_pages_path, "--out", published, "--verify",
+        ],
+        capture_output=True, text=True, timeout=500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "'verify': {'ok': True" in r.stdout
+
+
 def test_corrupted_tier_is_pinpointed(spark, small_pages_path, tmp_path):
     out = str(tmp_path / "out")
     run_rollup_job(spark, small_pages_path, out)
