@@ -147,6 +147,14 @@ def stats_rollup(
         .groupBy(*by, "_m")
         .agg(F.count(F.lit(1)).alias("_x"), F.sum("_v").alias("_y"))
     )
+    # ONE key-only exchange of the ROLLED-UP minute rows (bounded by
+    # minutes/key, not raw rows): every downstream grouping — this tier
+    # bucket, every stats_cascade step, corr_from_stats' per-key final —
+    # clusters on a superset of ``by``, and hash-partitioning on a SUBSET
+    # of the cluster keys satisfies Spark's required distribution, so the
+    # whole cascade + corr runs Exchange-free from here (plan-pinned in
+    # test_plans). Same partitioning-reuse trick as tiers.cascade.
+    obs = obs.repartition(*[F.col(c) for c in by])
     x, y = F.col("_x"), F.col("_y")
     return (
         obs.select(*by, F.col("_m").alias("bucket_ts"), "_x", "_y")

@@ -114,6 +114,27 @@ def test_asof_and_sessions_single_shuffle(spark):
     assert p2.count("Exchange") == 1
 
 
+def test_stats_cascade_exchange_free_after_rollup(pages_df):
+    """The six-sum stats family reuses one host-keyed partitioning: the
+    full minute→1h→1d→30d cascade plus the per-host corr must add ZERO
+    Exchanges beyond stats_rollup's two (minute agg + key repartition) —
+    hash-partitioning on the key subset satisfies every coarser grouping."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.ingest import with_host
+    from mimirsbrunn_spark.operators.stats import (
+        corr_from_stats,
+        stats_cascade,
+        stats_rollup,
+    )
+
+    p = with_host(pages_df).select("host", "warc_ts", "page_size")
+    s1h = stats_rollup(p, "1h")
+    base_ex = plan_str(s1h, "simple").count("Exchange")
+    full = corr_from_stats(stats_cascade(stats_cascade(s1h, "1d"), "30d"))
+    assert plan_str(full, "simple").count("Exchange") == base_ex
+
+
 def test_distinct_and_topn_plan_shapes(spark):
     """Sketch rollup: ONE Exchange (the (keys, bucket) group shuffle),
     hash aggregation only. Sketch cascade: one Exchange over the tiny
