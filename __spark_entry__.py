@@ -27,20 +27,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return gate.q_gapfill_1h(spark, "/root/testdata/sf0.001")
 
 
+# Gates with no MEANINGFUL driver CORRECTNESS row yet: added after the r3
+# driver run, never reached under the 50-entry cap, or (search_scored)
+# re-pinned in r4 because the r3 row was vacuous. These lead the registry so
+# round 4 gives every one of them its first real row; everything beyond
+# position 50 is r3-green AND covered by the committed all-gate
+# check_oracle reports (BENCH/check_oracle_r4*.json), re-run locally each
+# round.
+_NEVER_DRIVER_VERIFIED = (
+    "search_scored",
+    "search_fuzzy",
+    "pii_scrub",
+    "series_corr",
+    "idelta_1h",
+    "sliding_1h_15m",
+    "cohort_retention",
+    "corr_cascade",
+    "hdr_quantiles",
+    "slo_burn",
+)
+
+
 def _ordered(core: dict, rel: dict, ops: dict) -> dict:
-    """Registry order = driver verification priority. The driver checks at
-    most the FIRST 50 entries per round, so the families that went
-    unverified in round 3 (the ops/LLM-pipeline gates and the re-pinned
-    composed-search gates — VERDICT r3 'what's wrong' #2) lead; the
-    trivially-stable relational gates (green in r2 AND r3) absorb the
+    """Registry order = driver verification priority (the driver checks at
+    most the FIRST 50 entries per round — VERDICT r3 'what's wrong' #2).
+    Verification debt first: never-driver-verified gates, then the ops
+    family (r2-green only), then the engine-core gates, with the
+    trivially-stable relational gates (green in r2 AND r3) absorbing the
     overflow. tools/check_oracle.py still runs ALL entries locally each
-    round (BENCH/check_oracle_r4.json)."""
-    first = {k: rel[k] for k in ("search_scored", "search_fuzzy") if k in rel}
-    out: dict = {}
-    out.update(first)
-    out.update(ops)
-    out.update(core)
-    out.update({k: v for k, v in rel.items() if k not in first})
+    round."""
+    merged: dict = {}
+    merged.update(rel)
+    merged.update(ops)
+    merged.update(core)
+    out: dict = {k: merged[k] for k in _NEVER_DRIVER_VERIFIED if k in merged}
+    for fam in (ops, core, rel):
+        out.update({k: v for k, v in fam.items() if k not in out})
     return out
 
 

@@ -831,6 +831,125 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily page-size percentiles from an HDR sketch CASCADE: 1h sketches of
+    page_size merged (integer sum) into 1d, then p50/p95/p99 derived from the
+    merged counts (operators/histograms.py HDR family — the uddsketch /
+    percentile_agg analog with rel. error ≤ 2^-5). The oracle computes the
+    bins DIRECTLY per day with the identical exact-float index formula, so a
+    green hash proves the tier merge is lossless, not just the bucketing."""
+    from .operators.histograms import hdr_histogram, hdr_quantile, rollup_histogram
+
+    p = pages_df(spark, sf_dir).withColumn(
+        "bucket_ts", F.col("warc_sec") - (F.col("warc_sec") % 3600)
+    )
+    h1h = hdr_histogram(p, value_col="page_size", keys=("host", "bucket_ts"))
+    h1d = (
+        h1h.select(
+            "host",
+            (F.col("bucket_ts") - (F.col("bucket_ts") % 86400)).alias("bucket_ts"),
+            "bin",
+            "n",
+        )
+        .groupBy("host", "bucket_ts", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    p50 = hdr_quantile(h1d, 0.50, keys=("host", "bucket_ts"), out_col="p50_ub")
+    p95 = hdr_quantile(h1d, 0.95, keys=("host", "bucket_ts"), out_col="p95_ub")
+    p99 = hdr_quantile(h1d, 0.99, keys=("host", "bucket_ts"), out_col="p99_ub")
+    return (
+        p50.join(p95, ["host", "bucket_ts"]).join(p99, ["host", "bucket_ts"])
+        .withColumnRenamed("bucket_ts", "bucket_sec")
+    )
+
+
+# HDR index math twin (k=5, 32 sub-buckets): u = v+1, e = bitlen(u)-1,
+# pe = 2^e (exact double), bin = e*32 + floor((u-pe)*32/pe); every float op
+# is a multiply/divide by a power of two on integers < 2^53 → exact in both
+# engines. ub(bin) = pe' + ceil((sub+1)*pe'/32) - 2 with pe' = 2^(bin//32).
+SQL_HDR_QUANTILES = f"""
+WITH {PAGES_CTE},
+v AS (
+  SELECT host,
+         warc_sec - warc_sec % 86400 AS bucket_sec,
+         GREATEST(page_size, 0) + 1  AS u
+  FROM pages
+),
+b AS (
+  SELECT host, bucket_sec,
+         CAST(LEAST(
+           (length(bin(u)) - 1) * 32
+             + CAST(FLOOR((u - POW(2.0, length(bin(u)) - 1)) * 32
+                          / POW(2.0, length(bin(u)) - 1)) AS BIGINT),
+           40 * 32 + 31
+         ) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM v GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT host, bucket_sec, bin,
+         SUM(n) OVER (PARTITION BY host, bucket_sec ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY host, bucket_sec) AS total
+  FROM b
+),
+pick AS (
+  SELECT host, bucket_sec,
+         MIN(CASE WHEN cum >= CEIL(0.5  * total) THEN bin END) AS b50,
+         MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) AS b95,
+         MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bin END) AS b99
+  FROM c GROUP BY 1, 2
+)
+SELECT host, bucket_sec,
+       CAST(POW(2.0, b50 // 32) + CEIL((b50 % 32 + 1) * POW(2.0, b50 // 32) / 32.0) AS BIGINT) - 2 AS p50_ub,
+       CAST(POW(2.0, b95 // 32) + CEIL((b95 % 32 + 1) * POW(2.0, b95 // 32) / 32.0) AS BIGINT) - 2 AS p95_ub,
+       CAST(POW(2.0, b99 // 32) + CEIL((b99 % 32 + 1) * POW(2.0, b99 // 32) / 32.0) AS BIGINT) - 2 AS p99_ub
+FROM pick
+"""
+
+
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn rate (operators/slo.py): deterministic error mark
+    (event_id % 50 == 0 ≈ 2 % failures), hourly integer stats per host, 1h vs
+    6h burn against a 99 % SLO, page when both windows burn hot (the SRE
+    workbook's fast-burn pair 14.4×/6×). Long window is an integer RANGE
+    frame over the hourly partials — one shuffle total."""
+    from .operators.slo import error_rollup, multiwindow_burn
+
+    p = pages_df(spark, sf_dir)
+    hourly = error_rollup(
+        p, (F.col("event_id") % 50 == 0), ts_col="warc_sec", keys=("host",), step=3600
+    )
+    return multiwindow_burn(hourly, error_budget=0.01, long_buckets=6, step=3600)
+
+
+SQL_SLO_BURN = f"""
+WITH {PAGES_CTE},
+hourly AS (
+  SELECT host,
+         warc_sec - warc_sec % 3600 AS bucket_sec,
+         CAST(COUNT(*) AS BIGINT) AS tot,
+         CAST(SUM(CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS err
+  FROM pages GROUP BY 1, 2
+),
+winned AS (
+  SELECT host, bucket_sec, tot, err,
+         SUM(tot) OVER (PARTITION BY host ORDER BY bucket_sec
+                        RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) AS tot_l,
+         SUM(err) OVER (PARTITION BY host ORDER BY bucket_sec
+                        RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) AS err_l
+  FROM hourly
+)
+SELECT host, bucket_sec, tot, err,
+       CAST(err AS DOUBLE) / CAST(tot AS DOUBLE) / 0.01     AS burn_short,
+       CAST(err_l AS DOUBLE) / CAST(tot_l AS DOUBLE) / 0.01 AS burn_long,
+       (CAST(err AS DOUBLE) / CAST(tot AS DOUBLE) / 0.01 >= 14.4
+        AND CAST(err_l AS DOUBLE) / CAST(tot_l AS DOUBLE) / 0.01 >= 6.0)
+         AS page_alert
+FROM winned
+"""
+
+
 def core_queries() -> dict:
     qs = {
         "series_1m": _tier_query(60),
@@ -862,6 +981,8 @@ def core_queries() -> dict:
         "sliding_1h_15m": q_sliding_1h_15m,
         "cohort_retention": q_cohort_retention,
         "corr_cascade": q_corr_cascade,
+        "hdr_quantiles": q_hdr_quantiles,
+        "slo_burn": q_slo_burn,
     }
     return qs
 
@@ -897,6 +1018,8 @@ def core_oracle_sql() -> dict:
         "sliding_1h_15m": SQL_SLIDING_1H_15M,
         "cohort_retention": SQL_COHORT_RETENTION,
         "corr_cascade": SQL_CORR_CASCADE,
+        "hdr_quantiles": SQL_HDR_QUANTILES,
+        "slo_burn": SQL_SLO_BURN,
     }
 
 def q_gapfill_lang_1d(spark: SparkSession, sf_dir: str) -> DataFrame:

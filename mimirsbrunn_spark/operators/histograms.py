@@ -67,6 +67,104 @@ def rollup_histogram(hist: DataFrame, tier: str, keys: tuple[str, ...] = ("host"
     )
 
 
+# ---------------------------------------------------------------------------
+# HDR sketch: sub-bucketed log histogram with configurable relative error
+# ---------------------------------------------------------------------------
+#
+# The log-2 histogram above has factor-2 buckets (50 % worst-case relative
+# error on the derived quantile). The HDR sketch refines each octave into
+# 2^k linear sub-buckets, bounding relative error at 2^-k (k=5 → ≤ 3.125 %)
+# while keeping everything that makes the log-2 sketch scale-safe: the state
+# is integer counts in LONG format, merge across time buckets / tiers is
+# plain integer summation (exactly order-independent), and the bucket index
+# is a deterministic pure function of the value, so a DuckDB oracle can
+# recompute it bit-for-bit. This is the TimescaleDB ``uddsketch`` /
+# ``approx_percentile`` analog and the HdrHistogram layout used by
+# Prometheus-style latency SLOs.
+#
+# Index math (u = value + 1 ≥ 1, e = floor(log2(u)) via bit length,
+# pe = 2^e as an exact DOUBLE):
+#
+#     bin = e * 2^k + floor((u - pe) * 2^k / pe)
+#
+# One formula for every e: for e ≥ k it is the top-k-bits sub-bucket; for
+# e < k the multiplier 2^k/pe is a positive power of two, so small values
+# map injectively. All intermediates are integers below 2^53 scaled by
+# powers of two — every float op here (multiply/divide by 2^j, floor) is
+# EXACT in IEEE double, so Spark and DuckDB agree bit-for-bit.
+#
+# Upper bound of bin (e = bin div 2^k, sub = bin mod 2^k):
+#
+#     ub(v) = pe + ceil((sub + 1) * pe / 2^k) - 2
+#
+# (-1 to step back from the next bucket's first u, -1 more to undo u=v+1.)
+
+HDR_K = 5  # 2^5 = 32 sub-buckets per octave → quantile rel. error ≤ 3.125 %
+
+
+def hdr_bin(col, k: int = HDR_K, max_bin: int | None = None):
+    """HDR bucket index of a non-negative integer value (exact float math —
+    see module comment); negatives clamp to 0."""
+    u = F.greatest(col.cast("long"), F.lit(0)) + F.lit(1)
+    e = F.length(F.conv(u.cast("string"), 10, 2)) - 1
+    pe = F.pow(F.lit(2.0), e)
+    sub = F.floor((u - pe) * F.lit(float(2**k)) / pe).cast("long")
+    b = (e.cast("long") * F.lit(2**k) + sub).cast("int")
+    cap = (MAX_BIN if max_bin is None else max_bin) * 2**k + (2**k - 1)
+    return F.least(b, F.lit(cap))
+
+
+def hdr_value_ub(bin_col, k: int = HDR_K):
+    """Largest value an HDR bucket can hold — deterministic pure function of
+    the index, the read-time representative reported by hdr_quantile."""
+    e = F.floor(bin_col / F.lit(2**k)).cast("int")
+    sub = (bin_col % F.lit(2**k)).cast("long")
+    pe = F.pow(F.lit(2.0), e)
+    return (pe + F.ceil((sub + 1) * pe / F.lit(float(2**k)))).cast("long") - 2
+
+
+def hdr_histogram(
+    df: DataFrame,
+    value_col: str,
+    keys: tuple[str, ...] = ("host", "bucket_ts"),
+    k: int = HDR_K,
+) -> DataFrame:
+    """(keys..., bin, n): integer HDR bucket counts — the mergeable sketch.
+    Same LONG layout as size_histogram, so rollup_histogram cascades it
+    unchanged (integer-sum merge, exactly order-independent)."""
+    return (
+        df.select(*keys, hdr_bin(F.col(value_col), k).alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hdr_quantile(
+    hist: DataFrame,
+    q: float,
+    keys: tuple[str, ...] = ("host", "bucket_ts"),
+    out_col: str = "quantile_ub",
+    k: int = HDR_K,
+) -> DataFrame:
+    """Read-time quantile from HDR counts: smallest bin whose cumulative
+    count reaches ceil(q * total), reported as the bin's upper bound —
+    within 2^-k relative of the exact quantile by construction."""
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*keys)
+    cum = F.sum("n").over(w)
+    total = F.sum("n").over(wt)
+    need = F.ceil(F.lit(float(q)) * total)
+    hit = hist.withColumn("_cum", cum).withColumn("_need", need).filter(
+        F.col("_cum") >= F.col("_need")
+    )
+    wmin = Window.partitionBy(*keys).orderBy("bin")
+    return (
+        hit.withColumn("_rn", F.row_number().over(wmin))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, hdr_value_ub(F.col("bin"), k).alias(out_col))
+    )
+
+
 def histogram_quantile(
     hist: DataFrame,
     q: float,
