@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from .. import tiers
 from ..ingest import read_pages, with_host
 from ..operators.histograms import (
+    hdr_histogram,
+    hdr_quantile,
     histogram_quantile,
     rollup_histogram,
     size_histogram,
@@ -31,6 +33,14 @@ from ..tables import SnapshotTable
 
 HIST_TIERS = ["1h", "1d", "30d"]
 
+# sketch families sharing the (keys..., bin, n) LONG layout and the exact
+# integer-sum tier merge; "hdr" trades ~32x more bins for rel. error
+# <= 2^-5 instead of the log-2 sketch's factor-2 buckets.
+_SKETCHES = {
+    "log2": ("hist", size_histogram, histogram_quantile),
+    "hdr": ("hdr", hdr_histogram, hdr_quantile),
+}
+
 
 def run_histogram_job(
     spark: SparkSession,
@@ -39,37 +49,41 @@ def run_histogram_job(
     value_col: str = "page_size",
     table_factory=None,
     days: list[str] | None = None,
+    sketch: str = "log2",
 ) -> dict:
     """Build + publish the page-size histogram tiers. Returns {tier: table}.
 
     ``days``: incremental mode — refresh only the partitions dirtied by
     those days (jobs/aux_refresh.py); requires an existing publish.
     Histogram merges are exact integer sums, so the incremental result is
-    bit-identical to a full rebuild."""
+    bit-identical to a full rebuild. ``sketch``: 'log2' (coarse, tiny) or
+    'hdr' (rel. error <= 2^-5) — published under distinct table prefixes so
+    both can coexist."""
+    prefix, finest_fn, _ = _SKETCHES[sketch]
     pages = with_host(read_pages(spark, pages_path))
 
     def _finest(p, tier):
-        return size_histogram(
+        return finest_fn(
             p.select("host", bucket_col("warc_ts", tier).alias("bucket_ts"), value_col),
             value_col=value_col,
         )
 
-    if days and SnapshotTable(f"{out_dir}/hist_{HIST_TIERS[0]}").exists():
+    if days and SnapshotTable(f"{out_dir}/{prefix}_{HIST_TIERS[0]}").exists():
         from .aux_refresh import refresh_aux_tiers
 
         dp = pages.filter(F.date_format("warc_ts", "yyyy-MM-dd").isin(days))
         refresh_aux_tiers(
-            spark, out_dir, "hist", days, dp, _finest,
+            spark, out_dir, prefix, days, dp, _finest,
             lambda c, t: rollup_histogram(c, t),
             tier_list=tuple(HIST_TIERS),
         )
-        return {t: SnapshotTable(f"{out_dir}/hist_{t}") for t in HIST_TIERS}
+        return {t: SnapshotTable(f"{out_dir}/{prefix}_{t}") for t in HIST_TIERS}
     tf = table_factory or (lambda name: SnapshotTable(f"{out_dir}/{name}"))
     out: dict[str, object] = {}
     prev_read: DataFrame | None = None
     for tier in HIST_TIERS:
         df = _finest(pages, tier) if prev_read is None else rollup_histogram(prev_read, tier)
-        tbl = tf(f"hist_{tier}")
+        tbl = tf(f"{prefix}_{tier}")
         tbl.commit(
             df.withColumn("pkey", tiers.partition_key_col(tier)),
             mode="replace",
@@ -88,12 +102,14 @@ def read_histogram(
     t0: int | None = None,
     t1: int | None = None,
     hosts: list[str] | None = None,
+    sketch: str = "log2",
 ) -> DataFrame:
     """Serve a published histogram tier with manifest pruning. Output:
     (host, bucket_ts, bin, n)."""
+    prefix = _SKETCHES[sketch][0]
     p_lo, p_hi = tiers.partition_bounds(tier, t0, t1)
     df = (
-        SnapshotTable(f"{out_dir}/hist_{tier}")
+        SnapshotTable(f"{out_dir}/{prefix}_{tier}")
         .read(spark, partition_min=p_lo, partition_max=p_hi)
         .drop("pkey")
     )
@@ -115,13 +131,15 @@ def read_quantile(
     t1: int | None = None,
     hosts: list[str] | None = None,
     per_bucket: bool = False,
+    sketch: str = "log2",
 ) -> DataFrame:
     """Quantile-over-range from the stored counts: prune, (optionally) sum
     the range's counts per host, then derive the quantile — pure count
     arithmetic, no raw data. ``per_bucket=True`` keeps one quantile row per
     (host, bucket) instead of one per host over the whole range."""
-    hist = read_histogram(spark, out_dir, tier, t0=t0, t1=t1, hosts=hosts)
+    quantile_fn = _SKETCHES[sketch][2]
+    hist = read_histogram(spark, out_dir, tier, t0=t0, t1=t1, hosts=hosts, sketch=sketch)
     if per_bucket:
-        return histogram_quantile(hist, q, keys=("host", "bucket_ts"))
+        return quantile_fn(hist, q, keys=("host", "bucket_ts"))
     merged = hist.groupBy("host", "bin").agg(F.sum("n").alias("n"))
-    return histogram_quantile(merged, q, keys=("host",))
+    return quantile_fn(merged, q, keys=("host",))

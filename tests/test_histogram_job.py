@@ -11,6 +11,8 @@ from mimirsbrunn_spark.jobs.histogram_job import (
     run_histogram_job,
 )
 from mimirsbrunn_spark.operators.histograms import (
+    hdr_histogram,
+    hdr_quantile,
     histogram_quantile,
     size_histogram,
 )
@@ -70,3 +72,52 @@ def test_quantile_over_range_and_pruning(spark, small_pages_path, tmp_path):
         (F.col("bucket_ts").cast("long") >= t0) & (F.col("bucket_ts").cast("long") < t1)
     )
     assert narrow.count() == ref.count() > 0
+
+
+def test_hdr_sketch_published_tiers(spark, small_pages_path, tmp_path):
+    """The HDR variant rides the same job: published cascade == direct HDR
+    build at every tier (lossless merge), range quantile over the published
+    counts == the operator over a direct sketch of the same raw rows, and
+    the log2 tables coexist under their own prefix."""
+    out = str(tmp_path / "hdr_out")
+    run_histogram_job(spark, small_pages_path, out, sketch="hdr")
+    run_histogram_job(spark, small_pages_path, out, sketch="log2")
+    pages = with_host(read_pages(spark, small_pages_path))
+
+    for tier in ("1h", "30d"):
+        direct = hdr_histogram(
+            pages.select(
+                "host", bucket_col("warc_ts", tier).alias("bucket_ts"), "page_size"
+            ),
+            value_col="page_size",
+        )
+        served = read_histogram(spark, out, tier, sketch="hdr")
+        assert served.count() == direct.count() > 0, tier
+        assert served.exceptAll(direct).count() == 0, tier
+
+    # range quantile from published HDR counts == direct sketch of the raw
+    # rows in the same range (merge losslessness end to end)
+    full = read_histogram(spark, out, "1h", sketch="hdr")
+    mn = full.agg(F.min(F.col("bucket_ts").cast("long"))).first()[0]
+    t0, t1 = mn + 86400, mn + 3 * 86400
+    got = read_quantile(spark, out, 0.95, t0=t0, t1=t1, sketch="hdr")
+    raw = pages.filter(
+        (bucket_col("warc_ts", "1h").cast("long") >= t0)
+        & (bucket_col("warc_ts", "1h").cast("long") < t1)
+    )
+    want = hdr_quantile(
+        hdr_histogram(raw, value_col="page_size", keys=("host",)),
+        0.95,
+        keys=("host",),
+        out_col="quantile_ub",
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+    # HDR is at least as sharp as log2 everywhere: its p95 upper bound never
+    # exceeds the log2 bucket's upper bound
+    log2q = read_quantile(spark, out, 0.95, t0=t0, t1=t1, sketch="log2")
+    j = got.withColumnRenamed("quantile_ub", "hdr_ub").join(
+        log2q.withColumnRenamed("quantile_ub", "log2_ub"), "host"
+    )
+    assert j.filter(F.col("hdr_ub") > F.col("log2_ub")).count() == 0
