@@ -233,6 +233,36 @@ def check_chunks_decode(
     return {"ok": n_bad == 0, "hosts": hosts, "mismatch_rows": n_bad}
 
 
+def check_aux_cascade(spark: SparkSession, out_dir: str, prefix: str, child: str) -> dict:
+    """Published sketch tier ↔ exact re-aggregation of its finer sibling
+    (histogram families only: log-2 ``hist_*`` and HDR ``hdr_*`` merges are
+    integer sums, so cascade equality is EXACT). Aux tiers are
+    replace-published with no history-preservation contract (histogram_job;
+    aux_refresh is bit-identical by design), so strict equality is the
+    invariant — unlike the rollup tiers there is no preserved span to
+    exclude. The HLL/topn cascades are intentionally NOT checked here:
+    their merge is lossy relative to a direct rebuild."""
+    from ..operators.histograms import rollup_histogram
+
+    parent = TIER_PARENT[child]
+    p_tbl = SnapshotTable(f"{out_dir}/{prefix}_{parent}")
+    c_tbl = SnapshotTable(f"{out_dir}/{prefix}_{child}")
+    if not p_tbl.exists() or not c_tbl.exists():
+        return {"ok": False, "error": f"missing {prefix}_{parent} or {prefix}_{child}"}
+    cols = ["host", "bucket_ts", "bin", "n"]
+    p_df = p_tbl.read(spark).select(*cols)
+    c_df = c_tbl.read(spark).select(*cols)
+    expected = rollup_histogram(p_df, child, keys=("host",)).select(*cols)
+    extra = c_df.exceptAll(expected)
+    missing = expected.exceptAll(c_df)
+    n_extra, n_missing = extra.count(), missing.count()
+    out = {"ok": n_extra == 0 and n_missing == 0, "extra_rows": n_extra, "missing_rows": n_missing}
+    if n_extra or n_missing:
+        out["sample_extra"] = [r.asDict() for r in extra.limit(5).collect()]
+        out["sample_missing"] = [r.asDict() for r in missing.limit(5).collect()]
+    return out
+
+
 def _safe(fn, *args, **kw) -> dict:
     """An fsck must report, never die: a data-level check over a table
     whose files are gone raises from deep inside Spark — catch and turn it
@@ -266,6 +296,21 @@ def verify_publication(
         report["checks"][f"chunks:{child}"] = _safe(
             check_chunks_decode, spark, out_dir, child, n_hosts=chunk_hosts
         )
+    # sketch-tier layouts (histogram_job) sharing the directory: exact-merge
+    # families get manifest + cascade checks; absent families are skipped.
+    for prefix in ("hist", "hdr"):
+        if not SnapshotTable(f"{out_dir}/{prefix}_1h").exists():
+            continue
+        for t in ("1h", "1d", "30d"):
+            tbl = SnapshotTable(f"{out_dir}/{prefix}_{t}")
+            if tbl.exists():
+                report["checks"][f"manifest:{prefix}_{t}"] = _safe(
+                    check_manifest, tbl, deep=deep
+                )
+        for child in ("1d", "30d"):
+            report["checks"][f"aux:{prefix}:{child}"] = _safe(
+                check_aux_cascade, spark, out_dir, prefix, child
+            )
     report["ok"] = all(c.get("ok") for c in report["checks"].values())
     return report
 

@@ -112,3 +112,38 @@ def test_preserved_history_not_flagged(spark, small_pages_path, tmp_path):
     r = check_tier_consistency(spark, out, "1h")
     assert r["ok"], r
     assert r["preserved_rows"] > 0
+
+
+def test_aux_sketch_tiers_checked(spark, small_pages_path, tmp_path):
+    """Histogram-family tiers published into the layout join the fsck:
+    clean cascades pass; a doctored hdr_1d count is pinpointed by
+    aux:hdr:1d (and propagates to aux:hdr:30d, which was built from the
+    clean 1d); the log-2 family stays green; layouts without sketch tables
+    skip the checks entirely."""
+    from mimirsbrunn_spark.jobs.histogram_job import run_histogram_job
+    from mimirsbrunn_spark.jobs.verify_job import check_aux_cascade
+
+    out = str(tmp_path / "out")
+    run_rollup_job(spark, small_pages_path, out)
+    report = verify_publication(spark, out)
+    assert not any(k.startswith("aux:") for k in report["checks"])  # none published
+
+    run_histogram_job(spark, small_pages_path, out, sketch="log2")
+    run_histogram_job(spark, small_pages_path, out, sketch="hdr")
+    report = verify_publication(spark, out)
+    assert report["ok"], {k: v for k, v in report["checks"].items() if not v["ok"]}
+    for k in ("aux:hist:1d", "aux:hist:30d", "aux:hdr:1d", "aux:hdr:30d"):
+        assert report["checks"][k]["ok"], k
+
+    tbl = SnapshotTable(f"{out}/hdr_1d")
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    victim_bin = tbl.read(spark).agg(F.min("bin")).first()[0]
+    doctored = tbl.read(spark).withColumn(
+        "n", F.when(F.col("bin") == victim_bin, F.col("n") + 1).otherwise(F.col("n"))
+    )
+    tbl.commit(doctored, mode="replace", meta=snap.meta, partition_by="pkey")
+    r = check_aux_cascade(spark, out, "hdr", "1d")
+    assert not r["ok"] and r["extra_rows"] > 0
+    assert all(row["bin"] == victim_bin for row in r["sample_extra"])
+    assert not check_aux_cascade(spark, out, "hdr", "30d")["ok"]  # built from clean 1d
+    assert check_aux_cascade(spark, out, "hist", "1d")["ok"]  # log2 untouched
