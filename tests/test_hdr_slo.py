@@ -163,3 +163,38 @@ def test_slo_page_alert_truth_table(spark, incident_df):
     assert out.burn_short.iloc[6] == pytest.approx(20.0)
     assert alerts[6] is True  # 20 % with long window 54/600/0.01 = 9.0
     assert all(alerts[7:12])  # sustained burn keeps paging
+
+
+# -- property-based invariants of the HDR index math (pure python twin of the
+# -- Spark/DuckDB formula; parity with Spark is pinned above on sampled values)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=2**40 - 2))
+def test_hdr_index_invariants(v):
+    # below the MAX_BIN cap (~1 TB, mirroring the log-2 sketch's clamp)
+    b = _hdr_bin_py(v)
+    ub = _hdr_ub_py(b)
+    # the bucket holds its value, and its width honors the 2^-k bound
+    assert v <= ub
+    lo = _hdr_ub_py(b - 1) + 1 if b > 0 else 0
+    assert lo <= v
+    assert ub - lo + 1 <= max((v + 1) >> HDR_K, 1) + 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=2**41 - 2, max_value=2**62))
+def test_hdr_index_cap(v):
+    # beyond ~1 TB every value clamps into the terminal bucket (same
+    # contract as the log-2 sketch's MAX_BIN) — quantiles there report the
+    # cap bucket's bound, an explicit saturation, not an error
+    assert _hdr_bin_py(v) == 40 * 2**HDR_K + (2**HDR_K - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**47 - 1))
+def test_hdr_index_monotone(v):
+    assert _hdr_bin_py(v) <= _hdr_bin_py(v + 1)
