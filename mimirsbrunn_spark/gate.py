@@ -838,7 +838,7 @@ def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_agg analog with rel. error ≤ 2^-5). The oracle computes the
     bins DIRECTLY per day with the identical exact-float index formula, so a
     green hash proves the tier merge is lossless, not just the bucketing."""
-    from .operators.histograms import hdr_histogram, hdr_quantile, rollup_histogram
+    from .operators.histograms import hdr_histogram, hdr_quantiles_multi
 
     p = pages_df(spark, sf_dir).withColumn(
         "bucket_ts", F.col("warc_sec") - (F.col("warc_sec") % 3600)
@@ -854,13 +854,10 @@ def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host", "bucket_ts", "bin")
         .agg(F.sum("n").alias("n"))
     )
-    p50 = hdr_quantile(h1d, 0.50, keys=("host", "bucket_ts"), out_col="p50_ub")
-    p95 = hdr_quantile(h1d, 0.95, keys=("host", "bucket_ts"), out_col="p95_ub")
-    p99 = hdr_quantile(h1d, 0.99, keys=("host", "bucket_ts"), out_col="p99_ub")
-    return (
-        p50.join(p95, ["host", "bucket_ts"]).join(p99, ["host", "bucket_ts"])
-        .withColumnRenamed("bucket_ts", "bucket_sec")
+    out = hdr_quantiles_multi(
+        h1d, {"p50_ub": 0.50, "p95_ub": 0.95, "p99_ub": 0.99}, keys=("host", "bucket_ts")
     )
+    return out.withColumnRenamed("bucket_ts", "bucket_sec")
 
 
 # HDR index math twin (k=5, 32 sub-buckets): u = v+1, e = bitlen(u)-1,

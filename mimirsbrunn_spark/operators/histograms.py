@@ -165,6 +165,36 @@ def hdr_quantile(
     )
 
 
+def hdr_quantiles_multi(
+    hist: DataFrame,
+    qs: dict[str, float],
+    keys: tuple[str, ...] = ("host", "bucket_ts"),
+    k: int = HDR_K,
+) -> DataFrame:
+    """All requested quantiles in ONE pass: a single cumsum window plus a
+    groupBy on the same keys (partitioning reused — no second Exchange),
+    instead of one window + join per quantile. ``qs`` maps output column
+    name → q. Same pick rule as hdr_quantile: smallest bin whose cumulative
+    count reaches ceil(q * total), reported as the bin's upper bound."""
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*keys)
+    d = hist.withColumn("_cum", F.sum("n").over(w)).withColumn(
+        "_total", F.sum("n").over(wt)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("_total")), F.col("bin")
+            )
+        ).alias(f"_b_{name}")
+        for name, q in qs.items()
+    ]
+    picked = d.groupBy(*keys).agg(*aggs)
+    return picked.select(
+        *keys, *[hdr_value_ub(F.col(f"_b_{name}"), k).alias(name) for name in qs]
+    )
+
+
 def histogram_quantile(
     hist: DataFrame,
     q: float,

@@ -22,6 +22,7 @@ from mimirsbrunn_spark.operators.histograms import (
     HDR_K,
     hdr_histogram,
     hdr_quantile,
+    hdr_quantiles_multi,
 )
 from mimirsbrunn_spark.operators.slo import error_rollup, multiwindow_burn
 
@@ -198,3 +199,24 @@ def test_hdr_index_cap(v):
 @given(st.integers(min_value=0, max_value=2**47 - 1))
 def test_hdr_index_monotone(v):
     assert _hdr_bin_py(v) <= _hdr_bin_py(v + 1)
+
+
+def test_hdr_quantiles_multi_equals_single(spark):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "v": rng.integers(1, 10**6, 4000),
+            "key": rng.choice(["a", "b", "c"], 4000),
+        }
+    )
+    h = hdr_histogram(spark.createDataFrame(pdf), "v", keys=("key",))
+    multi = hdr_quantiles_multi(h, {"p50": 0.5, "p95": 0.95}, keys=("key",))
+    s50 = hdr_quantile(h, 0.5, keys=("key",), out_col="p50")
+    s95 = hdr_quantile(h, 0.95, keys=("key",), out_col="p95")
+    want = s50.join(s95, "key")
+    assert multi.exceptAll(want).count() == 0
+    assert multi.count() == want.count() == 3
+    # the pick groupBy rides the window's partitioning: no Exchange between
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    post_window = plan.split("Window")[0]  # operators ABOVE the window
+    assert "Exchange" not in post_window
