@@ -287,3 +287,36 @@ def stream_hopping(
             "value_sum",
         )
     )
+
+
+def stream_error_stats(
+    spark: SparkSession,
+    pages_dir: str,
+    err_predicate_sql: str,
+    step: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-host error-budget sufficient stats — the streaming twin
+    of operators/slo.error_rollup: integer (tot, err) per (host, bucket).
+    ``err_predicate_sql`` is a boolean SQL expression over the page columns
+    marking a failed fetch (e.g. a status column at deploy time). The output
+    feeds operators/slo.multiwindow_burn unchanged (the lambda pattern the
+    engine already uses for realtime serving: materialize the streamed
+    stats, derive burn rates at read time — the long RANGE window needs the
+    committed history, not in-flight state). Append mode after watermark;
+    state is one integer partial per open (host, bucket)."""
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    p = with_host(pages.withWatermark("warc_ts", watermark))
+    return (
+        p.groupBy(F.col("host"), F.window("warc_ts", step).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("tot"),
+            F.sum(F.expr(err_predicate_sql).cast("long")).alias("err"),
+        )
+        .select(
+            "host",
+            F.col("w.start").cast("long").alias("bucket_sec"),
+            "tot",
+            "err",
+        )
+    )

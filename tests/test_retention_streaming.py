@@ -1079,3 +1079,78 @@ def test_streaming_hopping_equals_batch_operator(
         want[["host", "window_start_sec", "doc_count", "value_sum"]],
         check_dtype=False,
     )
+
+
+def test_stream_error_stats_equals_batch_and_feeds_burn(
+    spark, small_pages_path, small_pages_pdf, tmp_path
+):
+    """stream_error_stats (availableNow drain) must equal the batch
+    error_rollup exactly, and its materialized output must feed
+    multiwindow_burn unchanged (the lambda serving pattern). Same
+    watermark-closing sentinel as test_streaming_equals_batch."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_spark.ingest import read_pages, with_host
+    from mimirsbrunn_spark.operators.slo import error_rollup, multiwindow_burn
+    from mimirsbrunn_spark.streaming import stream_error_stats
+
+    stream_dir = str(tmp_path / "stream_in")
+    shutil.copytree(small_pages_path, stream_dir)
+    sentinel_ts = small_pages_pdf["warc_ts"].max() + pd.Timedelta(days=1)
+    sentinel = pd.DataFrame(
+        {
+            "url": ["https://zzz-sentinel.invalid/close"],
+            "warc_ts": [sentinel_ts],
+            "html": [b""],
+            "text": [""],
+            "lang": ["unknown"],
+        }
+    )
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(sentinel, schema=schema, preserve_index=False),
+        f"{stream_dir}/part-sentinel.parquet",
+    )
+
+    err_sql = "page_size % 7 = 0"
+    out = str(tmp_path / "err_stats")
+    q = (
+        stream_error_stats(spark, stream_dir, err_sql)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.read.parquet(out)
+        .filter("host != 'zzz-sentinel.invalid'")
+        .orderBy("host", "bucket_sec")
+    )
+    batch_pages = with_host(read_pages(spark, small_pages_path)).withColumn(
+        "warc_sec", F.unix_timestamp("warc_ts")
+    )
+    want = error_rollup(
+        batch_pages, F.expr(err_sql), ts_col="warc_sec", keys=("host",), step=3600
+    ).orderBy("host", "bucket_sec")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+    # the materialized stream output drives the batch burn-rate read as-is
+    burn = multiwindow_burn(spark.read.parquet(out), error_budget=0.01)
+    assert burn.filter("burn_short is null or burn_long is null").count() == 0
