@@ -234,14 +234,15 @@ def check_chunks_decode(
 
 
 def check_aux_cascade(spark: SparkSession, out_dir: str, prefix: str, child: str) -> dict:
-    """Published sketch tier ↔ exact re-aggregation of its finer sibling
-    (histogram families only: log-2 ``hist_*`` and HDR ``hdr_*`` merges are
-    integer sums, so cascade equality is EXACT). Aux tiers are
-    replace-published with no history-preservation contract (histogram_job;
-    aux_refresh is bit-identical by design), so strict equality is the
-    invariant — unlike the rollup tiers there is no preserved span to
-    exclude. The HLL/topn cascades are intentionally NOT checked here:
-    their merge is lossy relative to a direct rebuild."""
+    """Published aux tier ↔ exact re-aggregation of its finer sibling
+    (exact-merge families only: the log-2 ``hist_*`` / HDR ``hdr_*``
+    histograms and the ``slo_*`` error stats all merge by integer sums, so
+    cascade equality is EXACT). Aux tiers are replace-published with no
+    history-preservation contract (histogram_job/slo_job; aux_refresh is
+    bit-identical by design), so strict equality is the invariant — unlike
+    the rollup tiers there is no preserved span to exclude. The HLL/topn
+    cascades are intentionally NOT checked here: their merge is lossy
+    relative to a direct rebuild."""
     from ..operators.histograms import rollup_histogram
 
     parent = TIER_PARENT[child]
@@ -249,10 +250,17 @@ def check_aux_cascade(spark: SparkSession, out_dir: str, prefix: str, child: str
     c_tbl = SnapshotTable(f"{out_dir}/{prefix}_{child}")
     if not p_tbl.exists() or not c_tbl.exists():
         return {"ok": False, "error": f"missing {prefix}_{parent} or {prefix}_{child}"}
-    cols = ["host", "bucket_ts", "bin", "n"]
+    if prefix == "slo":
+        from .slo_job import _rollup_stats
+
+        cols = ["host", "bucket_ts", "tot", "err"]
+        cascade = _rollup_stats
+    else:
+        cols = ["host", "bucket_ts", "bin", "n"]
+        cascade = lambda df, t: rollup_histogram(df, t, keys=("host",))  # noqa: E731
     p_df = p_tbl.read(spark).select(*cols)
     c_df = c_tbl.read(spark).select(*cols)
-    expected = rollup_histogram(p_df, child, keys=("host",)).select(*cols)
+    expected = cascade(p_df, child).select(*cols)
     extra = c_df.exceptAll(expected)
     missing = expected.exceptAll(c_df)
     n_extra, n_missing = extra.count(), missing.count()
@@ -296,18 +304,19 @@ def verify_publication(
         report["checks"][f"chunks:{child}"] = _safe(
             check_chunks_decode, spark, out_dir, child, n_hosts=chunk_hosts
         )
-    # sketch-tier layouts (histogram_job) sharing the directory: exact-merge
-    # families get manifest + cascade checks; absent families are skipped.
-    for prefix in ("hist", "hdr"):
+    # aux-tier layouts (histogram_job/slo_job) sharing the directory:
+    # exact-merge families get manifest + cascade checks; absent families
+    # are skipped.
+    for prefix, children in (("hist", ("1d", "30d")), ("hdr", ("1d", "30d")), ("slo", ("1d",))):
         if not SnapshotTable(f"{out_dir}/{prefix}_1h").exists():
             continue
-        for t in ("1h", "1d", "30d"):
+        for t in ("1h",) + children:
             tbl = SnapshotTable(f"{out_dir}/{prefix}_{t}")
             if tbl.exists():
                 report["checks"][f"manifest:{prefix}_{t}"] = _safe(
                     check_manifest, tbl, deep=deep
                 )
-        for child in ("1d", "30d"):
+        for child in children:
             report["checks"][f"aux:{prefix}:{child}"] = _safe(
                 check_aux_cascade, spark, out_dir, prefix, child
             )
