@@ -131,6 +131,12 @@ def main() -> None:
         from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
 
         run_rollup_job(spark, pages_path, pub, job_id="bench_publish")
+    if not SnapshotTable(f"{pub}/hdr_1h").exists():
+        from mimirsbrunn_spark.jobs.histogram_job import run_histogram_job
+        from mimirsbrunn_spark.jobs.slo_job import run_slo_job
+
+        run_histogram_job(spark, pages_path, pub, sketch="hdr")
+        run_slo_job(spark, pages_path, pub, "page_size % 7 = 0")
     srs = SnapshotTable(f"{pub}/series_1m").read(spark)
     mn, mx = srs.agg(
         F.min(F.col("bucket_ts").cast("long")), F.max(F.col("bucket_ts").cast("long"))
@@ -163,6 +169,20 @@ def main() -> None:
     serving["read_plot_m4"] = timed(
         lambda: _force(query_api.read_plot(spark, pub, mn, mx + 60, n_px=800)),
         _name="read_plot_m4",
+    )
+
+    from mimirsbrunn_spark.jobs.histogram_job import read_quantile
+    from mimirsbrunn_spark.jobs.slo_job import read_burn
+
+    serving["read_hdr_p95_window"] = timed(
+        lambda: _force(
+            read_quantile(spark, pub, 0.95, tier="1h", t0=mid0, t1=mid1, sketch="hdr")
+        ),
+        _name="read_hdr_p95_window",
+    )
+    serving["read_burn_window"] = timed(
+        lambda: _force(read_burn(spark, pub, t0=mid0, t1=mid1, hosts=hosts)),
+        _name="read_burn_window",
     )
 
     pipeline_sec = timings["pages_series_1m"] + timings["pages_cascade"]

@@ -98,3 +98,22 @@ def test_slo_tiers_join_the_fsck(spark, small_pages_path, tmp_path):
     tbl.commit(doctored, mode="replace", meta=snap.meta, partition_by="pkey")
     r = check_aux_cascade(spark, out, "slo", "1d")
     assert not r["ok"] and r["extra_rows"] > 0
+
+
+def test_maintenance_keeps_aux_layout_fsck_green(spark, small_pages_path, tmp_path):
+    """Compaction/vacuum over a layout holding rollup + hdr + slo tables
+    must leave every fsck check green (compaction reproduces layouts; aux
+    cascades stay exact)."""
+    from mimirsbrunn_spark.jobs.histogram_job import run_histogram_job
+    from mimirsbrunn_spark.jobs.maintenance_job import run_maintenance
+    from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
+    from mimirsbrunn_spark.jobs.verify_job import verify_publication
+
+    out = str(tmp_path / "out")
+    run_rollup_job(spark, small_pages_path, out)
+    run_histogram_job(spark, small_pages_path, out, sketch="hdr")
+    run_slo_job(spark, small_pages_path, out, ERR_SQL)
+    run_maintenance(spark, out)
+    report = verify_publication(spark, out, deep=True)
+    assert report["ok"], {k: v for k, v in report["checks"].items() if not v["ok"]}
+    assert report["checks"]["aux:hdr:1d"]["ok"] and report["checks"]["aux:slo:1d"]["ok"]
