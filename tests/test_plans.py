@@ -159,3 +159,30 @@ def test_distinct_and_topn_plan_shapes(spark):
     # count groupBy shuffles the projected raw rows once; the rank window
     # re-shuffles only (bucket, item, cnt) aggregate rows
     assert p3.count("Exchange") == 2 and "Join" not in p3
+
+
+def test_slo_burn_two_exchanges_and_hdr_pick_rides_window(spark):
+    """SLO: hourly stats groupBy (host,bucket) then the RANGE window on host
+    — exactly TWO Exchanges, no Join (the long window must not become a
+    self-join). HDR multi-quantile: the pick groupBy reuses the cumsum
+    window's partitioning — one Exchange for the bin groupBy, one for the
+    window, NONE for the pick."""
+    import pandas as pd
+
+    from mimirsbrunn_spark.operators.histograms import hdr_histogram, hdr_quantiles_multi
+    from mimirsbrunn_spark.operators.slo import error_rollup, multiwindow_burn
+
+    pdf = pd.DataFrame(
+        {"host": ["a", "b"] * 50, "warc_sec": range(100), "is_err": [False] * 100}
+    )
+    df = spark.createDataFrame(pdf)
+    burn = multiwindow_burn(error_rollup(df, F.col("is_err")), error_budget=0.01)
+    p = plan_str(burn, "simple")
+    assert "Join" not in p
+    assert p.count("Exchange") == 2
+
+    h = hdr_histogram(df, value_col="warc_sec", keys=("host",))
+    q = hdr_quantiles_multi(h, {"p50": 0.5, "p99": 0.99}, keys=("host",))
+    pq = plan_str(q, "simple")
+    assert "Join" not in pq
+    assert pq.count("Exchange") == 2
