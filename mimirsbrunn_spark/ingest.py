@@ -55,10 +55,15 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
 
 
 def with_host(pages: DataFrame) -> DataFrame:
-    """Derive url_host + page_size. JVM-side expressions only (codegen'd)."""
-    return pages.withColumn("host", F.parse_url("url", F.lit("HOST"))).withColumn(
-        "page_size", F.coalesce(F.length("html"), F.lit(0)).cast("long")
-    )
+    """Derive url_host + page_size. JVM-side expressions only (codegen'd).
+
+    ``try_parse_url``, not ``parse_url``: Spark 4's parse_url THROWS on a
+    malformed url (INVALID_URL), and a 10^12-page crawl WILL contain some —
+    one bad row must yield a NULL host (kept as its own group downstream),
+    never crash the job. Pinned in tests/test_edge_semantics.py."""
+    return pages.withColumn(
+        "host", F.expr("try_parse_url(url, 'HOST')")
+    ).withColumn("page_size", F.coalesce(F.length("html"), F.lit(0)).cast("long"))
 
 
 def dedup_pages(pages: DataFrame) -> DataFrame:

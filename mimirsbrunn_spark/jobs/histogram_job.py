@@ -139,6 +139,15 @@ def read_quantile(
     (host, bucket) instead of one per host over the whole range."""
     quantile_fn = _SKETCHES[sketch][2]
     hist = read_histogram(spark, out_dir, tier, t0=t0, t1=t1, hosts=hosts, sketch=sketch)
+    if sketch == "hdr":
+        # single-pass pick (cumsum window + co-partitioned groupBy) — one
+        # less pass than the window+row_number filter, same pick rule
+        from ..operators.histograms import hdr_quantiles_multi
+
+        if per_bucket:
+            return hdr_quantiles_multi(hist, {"quantile_ub": q})
+        merged = hist.groupBy("host", "bin").agg(F.sum("n").alias("n"))
+        return hdr_quantiles_multi(merged, {"quantile_ub": q}, keys=("host",))
     if per_bucket:
         return quantile_fn(hist, q, keys=("host", "bucket_ts"))
     merged = hist.groupBy("host", "bin").agg(F.sum("n").alias("n"))
