@@ -130,9 +130,12 @@ def centroid_cols(xs_col: str = "xs", ys_col: str = "ys"):
     (cx, cy) Columns. Degenerate (zero-area) rings fall back to the vertex
     mean, like geo's centroid of a collapsed polygon."""
     n = f"size({xs_col})"
-    # next-vertex rotation: [x2..xn, x1]
-    xr = f"concat(slice({xs_col}, 2, {n} - 1), array(element_at({xs_col}, 1)))"
-    yr = f"concat(slice({ys_col}, 2, {n} - 1), array(element_at({ys_col}, 1)))"
+    # next-vertex rotation: [x2..xn, x1]; try_element_at, not element_at —
+    # ANSI mode (Spark 4 default) THROWS on index-out-of-bounds, so a single
+    # empty/corrupt ring in a planet-scale import would kill the job instead
+    # of yielding a NULL/NaN centroid (tests/test_edge_semantics.py)
+    xr = f"concat(slice({xs_col}, 2, greatest({n} - 1, 0)), array(try_element_at({xs_col}, 1)))"
+    yr = f"concat(slice({ys_col}, 2, greatest({n} - 1, 0)), array(try_element_at({ys_col}, 1)))"
     cross = (
         f"zip_with({xs_col}, {yr}, (a, b) -> a * b)"
         f", zip_with({xr}, {ys_col}, (a, b) -> a * b)"
@@ -171,7 +174,12 @@ def way_middle_coord(nodes_xs_col, nodes_ys_col):
     reference prefers a middle node so way ends near admin boundaries don't
     misassign the street). Returns (x, y) Columns."""
     idx = (F.size(nodes_xs_col) / 2).cast("int") + 1  # element_at is 1-based
-    return F.element_at(nodes_xs_col, idx), F.element_at(nodes_ys_col, idx)
+    # try_element_at: an empty way yields NULL coords instead of an ANSI
+    # INVALID_ARRAY_INDEX crash (corrupt input must not kill the import)
+    return (
+        F.try_element_at(nodes_xs_col, idx),
+        F.try_element_at(nodes_ys_col, idx),
+    )
 
 
 # --- G4: point↔boundary distance (admin_geofinder.rs:85-94 distance_2) ----

@@ -90,3 +90,28 @@ def test_series_null_host_rows_are_kept_as_their_own_group(spark):
     rows = {r.host: r.doc_count for r in out.collect()}
     assert rows.get("ok.example.com") == 1
     assert None in rows and rows[None] == 1
+
+
+def test_geo_empty_geometry_yields_null_not_crash(spark):
+    """ANSI mode (Spark 4 default) turns element_at OOB into a job-killing
+    error: an empty ring / empty way must instead produce NULL/NaN outputs.
+    One corrupt geometry in a planet import must never abort the job."""
+    import math
+
+    from mimirsbrunn_spark.operators.geo import way_middle_coord, with_centroid
+
+    df = spark.createDataFrame(
+        [
+            ([0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0]),
+            ([], []),
+        ],
+        "xs array<double>, ys array<double>",
+    )
+    rows = with_centroid(df).orderBy(F.size("xs").desc()).collect()
+    assert rows[0].cx == pytest.approx(2.0) and rows[0].cy == pytest.approx(2.0)
+    assert rows[1].cx is None or math.isnan(rows[1].cx)  # degenerate, not a crash
+
+    x, y = way_middle_coord(F.col("xs"), F.col("ys"))
+    mids = df.select(x.alias("x"), y.alias("y")).orderBy(F.col("x").desc_nulls_last()).collect()
+    assert mids[0].x == 4.0
+    assert mids[1].x is None and mids[1].y is None
