@@ -220,3 +220,36 @@ def test_hdr_quantiles_multi_equals_single(spark):
     plan = multi._jdf.queryExecution().executedPlan().toString()
     post_window = plan.split("Window")[0]  # operators ABOVE the window
     assert "Exchange" not in post_window
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=3, max_size=10),
+    st.integers(min_value=2, max_value=8),
+)
+def test_multiwindow_burn_random_plans_match_pandas(spark, plan, long_buckets):
+    """Randomized incident plans (errors-per-50-requests per hour) against
+    the brute-force pandas oracle, across long-window widths."""
+    rows = []
+    t0 = 1_600_000_000 - 1_600_000_000 % 3600
+    for i, e in enumerate(plan):
+        for j in range(50):
+            rows.append({"host": "h", "warc_sec": t0 + i * 3600 + j, "e": j < e})
+    pdf = pd.DataFrame(rows)
+    hourly = error_rollup(spark.createDataFrame(pdf), F.col("e"), ts_col="warc_sec")
+    out = (
+        multiwindow_burn(hourly, error_budget=0.01, long_buckets=long_buckets)
+        .orderBy("bucket_sec")
+        .toPandas()
+    )
+    g = (
+        pdf.assign(b=pdf.warc_sec - pdf.warc_sec % 3600)
+        .groupby("b")
+        .agg(tot=("e", "size"), err=("e", "sum"))
+    )
+    for _, r in out.iterrows():
+        win = g.loc[(g.index > r.bucket_sec - long_buckets * 3600) & (g.index <= r.bucket_sec)]
+        assert r.burn_long == pytest.approx(win.err.sum() / win.tot.sum() / 0.01)
+        assert r.burn_short == pytest.approx(
+            g.loc[r.bucket_sec, "err"] / g.loc[r.bucket_sec, "tot"] / 0.01
+        )
