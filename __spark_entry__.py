@@ -27,43 +27,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return gate.q_gapfill_1h(spark, "/root/testdata/sf0.001")
 
 
-# Gates with no MEANINGFUL driver CORRECTNESS row yet: added after the r3
-# driver run, never reached under the 50-entry cap, or (search_scored)
-# re-pinned in r4 because the r3 row was vacuous. These lead the registry so
-# round 4 gives every one of them its first real row; everything beyond
-# position 50 is r3-green AND covered by the committed all-gate
-# check_oracle reports (BENCH/check_oracle_r4*.json), re-run locally each
-# round.
-_NEVER_DRIVER_VERIFIED = (
-    "search_scored",
-    "search_fuzzy",
-    "pii_scrub",
-    "series_corr",
-    "idelta_1h",
-    "sliding_1h_15m",
-    "cohort_retention",
-    "corr_cascade",
-    "hdr_quantiles",
-    "slo_burn",
-)
+def _driver_row_history() -> dict[str, tuple[int, int]]:
+    """gate name -> (last driver round with a row, total driver rows), read
+    from the committed CORRECTNESS_r*.json ledgers next to this file. Gates
+    with no row ever map to (0, 0)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, tuple[int, int]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+            rows = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name in rows:
+            last, n = hist.get(name, (0, 0))
+            hist[name] = (max(last, rnd), n + 1)
+    return hist
 
 
 def _ordered(core: dict, rel: dict, ops: dict) -> dict:
     """Registry order = driver verification priority (the driver checks at
     most the FIRST 50 entries per round — VERDICT r3 'what's wrong' #2).
-    Verification debt first: never-driver-verified gates, then the ops
-    family (r2-green only), then the engine-core gates, with the
-    trivially-stable relational gates (green in r2 AND r3) absorbing the
-    overflow. tools/check_oracle.py still runs ALL entries locally each
-    round."""
+
+    Codified rotation by driver-row age (VERDICT r4 task 3): sort every gate
+    by (last round it got a driver CORRECTNESS row, total rows it has ever
+    had, name) ascending — never-verified gates lead, then the stalest, so
+    no gate goes more than ceil(n_gates/50) rounds without a driver row and
+    the ordering self-updates each round as new ledgers land.
+    tools/check_oracle.py still runs ALL entries locally each round."""
     merged: dict = {}
     merged.update(rel)
     merged.update(ops)
     merged.update(core)
-    out: dict = {k: merged[k] for k in _NEVER_DRIVER_VERIFIED if k in merged}
-    for fam in (ops, core, rel):
-        out.update({k: v for k, v in fam.items() if k not in out})
-    return out
+    hist = _driver_row_history()
+    key = lambda name: (*hist.get(name, (0, 0)), name)  # noqa: E731
+    return {name: merged[name] for name in sorted(merged, key=key)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -131,11 +131,15 @@ def main() -> None:
         from mimirsbrunn_spark.jobs.rollup_job import run_rollup_job
 
         run_rollup_job(spark, pages_path, pub, job_id="bench_publish")
+    # gate each publish on ITS OWN table so an interrupted prior run can't
+    # leave slo_1h missing while hdr_1h exists (ADVICE r4 #2)
     if not SnapshotTable(f"{pub}/hdr_1h").exists():
         from mimirsbrunn_spark.jobs.histogram_job import run_histogram_job
-        from mimirsbrunn_spark.jobs.slo_job import run_slo_job
 
         run_histogram_job(spark, pages_path, pub, sketch="hdr")
+    if not SnapshotTable(f"{pub}/slo_1h").exists():
+        from mimirsbrunn_spark.jobs.slo_job import run_slo_job
+
         run_slo_job(spark, pages_path, pub, "page_size % 7 = 0")
     srs = SnapshotTable(f"{pub}/series_1m").read(spark)
     mn, mx = srs.agg(

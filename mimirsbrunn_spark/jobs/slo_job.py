@@ -37,7 +37,11 @@ def _finest_stats(pages: DataFrame, tier: str, err_predicate_sql: str) -> DataFr
             F.expr(err_predicate_sql).cast("long").alias("_e"),
         )
         .groupBy("host", "bucket_ts")
-        .agg(F.count(F.lit(1)).alias("tot"), F.sum("_e").alias("err"))
+        .agg(
+            F.count(F.lit(1)).alias("tot"),
+            # all-NULL-predicate group publishes err=0, not NULL (ADVICE r4 #1)
+            F.coalesce(F.sum("_e"), F.lit(0)).alias("err"),
+        )
     )
 
 

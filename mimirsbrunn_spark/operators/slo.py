@@ -49,7 +49,12 @@ def error_rollup(
         .groupBy(*keys, "bucket_sec")
         .agg(
             F.count(F.lit(1)).alias("tot"),
-            F.sum("_e").alias("err"),
+            # coalesce: a group whose every predicate is NULL must publish
+            # err=0, not err=NULL (per-row NULL still doesn't burn — the
+            # cast drops it from the sum; only the empty-sum case changes).
+            # Matches the gate's SQL twin (CASE WHEN … ELSE 0) and keeps
+            # burn_short/burn_long non-NULL downstream. ADVICE r4 #1.
+            F.coalesce(F.sum("_e"), F.lit(0)).alias("err"),
         )
     )
 

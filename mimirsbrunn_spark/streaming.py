@@ -311,7 +311,10 @@ def stream_error_stats(
         p.groupBy(F.col("host"), F.window("warc_ts", step).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("tot"),
-            F.sum(F.expr(err_predicate_sql).cast("long")).alias("err"),
+            # all-NULL-predicate group publishes err=0, not NULL (ADVICE r4 #1)
+            F.coalesce(
+                F.sum(F.expr(err_predicate_sql).cast("long")), F.lit(0)
+            ).alias("err"),
         )
         .select(
             "host",
