@@ -716,6 +716,89 @@ FROM salted
 
 
 
+# --- benchmark decontamination (13-gram overlap) --------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 13-gram contamination stats vs a deterministic eval
+    subset (doc_id % 97 = 0 — the gate's stand-in for an eval corpus;
+    eval members match themselves 100%, short docs carry total_grams=0).
+    Gate variant joins on the gram STRING (hasher='none') so the DuckDB
+    twin is exactly equal; production uses xxhash64 keys + broadcast
+    (operators/decontam.py)."""
+    from .operators import decontam
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontam.contamination(docs, ev, n=13, hasher="none")
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+12], ' ')
+                        for i in range(1, greatest(len(t) - 11, 1))]) AS gs
+  FROM toks
+), dg AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams
+), eval_g AS (
+  SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0
+), per AS (
+  SELECT dg.doc_id, count(*) AS total,
+         sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS matched
+  FROM dg LEFT JOIN eval_g e USING (g) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.total, 0) AS BIGINT) AS total_grams,
+       CAST(COALESCE(per.matched, 0) AS BIGINT) AS matched_grams,
+       CAST(COALESCE(per.matched, 0) AS DOUBLE)
+         / CAST(greatest(COALESCE(per.total, 0), 1) AS DOUBLE) AS contam_frac
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+# --- deterministic stratified sampling -------------------------------------
+
+_SAMPLE_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.75}
+_SAMPLE_SEED = 42
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded hash-based per-lang sampling (operators/sampling.py): keep a
+    doc iff md5_60(doc_id ':seed') % 1e6 < rate_lang * 1e6 — exactly
+    reproducible in DuckDB, so the gate pins the precise kept set, not
+    just counts."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(k, v) for k, v in _SAMPLE_RATES.items()], "lang string, rate double"
+    )
+    out = sampling.stratified_sample(
+        docs, rates, strata=("lang",), key_col="doc_id",
+        seed=_SAMPLE_SEED, hasher="md5_60",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def _stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * 1_000_000)}" for k, v in _SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SAMPLE_SEED}'), 1, 15))::BIGINT)
+      % 1000000
+      < (CASE lang {cases} ELSE 0 END)
+"""
+
+
 def ops_queries() -> dict:
     return {
         "doc_tokens": q_doc_tokens,
@@ -736,6 +819,8 @@ def ops_queries() -> dict:
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
         "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -759,4 +844,6 @@ def ops_oracle_sql() -> dict:
         "simhash": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "pii_scrub": _pii_scrub_sql(),
+        "decontaminate": SQL_DECONTAMINATE,
+        "stratified_sample": _stratified_sample_sql(),
     }

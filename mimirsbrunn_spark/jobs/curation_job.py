@@ -44,6 +44,12 @@ def curate(
     min_stopword_ratio: float = 0.0,
     near_dup_threshold: float = 0.8,
     minhash_kw: dict | None = None,
+    eval_docs: DataFrame | None = None,
+    max_contam_frac: float = 0.0,
+    decontam_ngram: int = 13,
+    sample_rates: DataFrame | None = None,
+    sample_strata: tuple[str, ...] = ("lang",),
+    sample_seed: int = 0,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """Return (curated DataFrame, {stage: survivors-so-far DataFrame}).
     Stages are lazily composed; counts are the caller's to trigger (the job
@@ -83,6 +89,28 @@ def curate(
             F.col("_lang_pred").isin(list(langs))
         ).drop("_lang_pred")
     stages["language"] = d
+
+    if eval_docs is not None:
+        # benchmark decontamination: drop any page sharing a 13-gram with
+        # the eval corpus (operators/decontam.py, broadcast-probed)
+        from ..operators import decontam
+
+        kept, _dropped = decontam.decontaminate(
+            d, eval_docs, max_frac=max_contam_frac,
+            id_col=id_col, text_col=text_col, n=decontam_ngram,
+        )
+        d = kept.drop("total_grams", "matched_grams", "contam_frac")
+        stages["decontaminate"] = d
+
+    if sample_rates is not None:
+        # deterministic corpus mixing: seeded per-stratum hash sampling
+        from ..operators import sampling
+
+        d = sampling.stratified_sample(
+            d, sample_rates, strata=sample_strata, key_col=id_col,
+            seed=sample_seed,
+        )
+        stages["stratified_sample"] = d
     return d, stages
 
 
