@@ -762,6 +762,22 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
+# --- real BPE token counting (rows-only gate) ------------------------------
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merges-table-driven BPE token count per document (operators/bpe.py,
+    fixed GATE_MERGES table). Arrow-batched pandas UDF — not expressible in
+    DuckDB SQL, so this is a rows-only driver entry; exactness vs an
+    independent pure-python reference is pinned in tests/test_bpe.py."""
+    from .operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.with_bpe_tokens(docs, bpe.GATE_MERGES).select(
+        "doc_id", "bpe_tokens"
+    )
+
+
 # --- deterministic stratified sampling -------------------------------------
 
 _SAMPLE_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.75}
@@ -821,6 +837,7 @@ def ops_queries() -> dict:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 
