@@ -1154,3 +1154,85 @@ def test_stream_error_stats_equals_batch_and_feeds_burn(
     # the materialized stream output drives the batch burn-rate read as-is
     burn = multiwindow_burn(spark.read.parquet(out), error_budget=0.01)
     assert burn.filter("burn_short is null or burn_long is null").count() == 0
+
+
+def test_streaming_burn_alert_parity_end_to_end(
+    spark, small_pages_path, small_pages_pdf, tmp_path
+):
+    """Lambda-serving page-alert parity, pinned END TO END (VERDICT r4 task
+    8): the alert set computed from DRAINED streamed stats ->
+    multiwindow_burn must equal the batch path's published-tier read
+    (run_slo_job -> read_burn) on the same input — same (host, bucket)
+    alert rows AND same burn values."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mimirsbrunn_spark.jobs.slo_job import read_burn, run_slo_job
+    from mimirsbrunn_spark.operators.slo import multiwindow_burn
+    from mimirsbrunn_spark.streaming import stream_error_stats
+
+    stream_dir = str(tmp_path / "stream_in")
+    shutil.copytree(small_pages_path, stream_dir)
+    sentinel_ts = small_pages_pdf["warc_ts"].max() + pd.Timedelta(days=1)
+    sentinel = pd.DataFrame(
+        {
+            "url": ["https://zzz-sentinel.invalid/close"],
+            "warc_ts": [sentinel_ts],
+            "html": [b""],
+            "text": [""],
+            "lang": ["unknown"],
+        }
+    )
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(sentinel, schema=schema, preserve_index=False),
+        f"{stream_dir}/part-sentinel.parquet",
+    )
+
+    err_sql = "page_size % 7 = 0"
+    budget = 0.01
+    out = str(tmp_path / "err_stats")
+    q = (
+        stream_error_stats(spark, stream_dir, err_sql)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    stream_burn = multiwindow_burn(
+        spark.read.parquet(out).filter("host != 'zzz-sentinel.invalid'"),
+        error_budget=budget,
+    )
+
+    pub = str(tmp_path / "pub")
+    run_slo_job(spark, small_pages_path, pub, err_sql)
+    batch_burn = read_burn(spark, pub, error_budget=budget)
+
+    cols = ["host", "bucket_sec", "tot", "err", "burn_short", "burn_long",
+            "page_alert"]
+    s = stream_burn.select(*cols)
+    b = batch_burn.select(*cols)
+    n_s, n_b = s.count(), b.count()
+    assert n_s == n_b > 0
+    assert s.exceptAll(b).count() == 0 and b.exceptAll(s).count() == 0
+
+    # the alert set is non-trivial on this fixture (some fire, some don't)
+    alerts = {(r.host, r.bucket_sec) for r in
+              s.filter("page_alert").collect()}
+    assert 0 < len(alerts) < n_s
+    batch_alerts = {(r.host, r.bucket_sec) for r in
+                    b.filter("page_alert").collect()}
+    assert alerts == batch_alerts
