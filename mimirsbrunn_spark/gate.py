@@ -980,6 +980,8 @@ def core_queries() -> dict:
         "corr_cascade": q_corr_cascade,
         "hdr_quantiles": q_hdr_quantiles,
         "slo_burn": q_slo_burn,
+        "ewma_1h": q_ewma_1h,
+        "holt_1h": q_holt_1h,
     }
     return qs
 
@@ -1017,6 +1019,8 @@ def core_oracle_sql() -> dict:
         "corr_cascade": SQL_CORR_CASCADE,
         "hdr_quantiles": SQL_HDR_QUANTILES,
         "slo_burn": SQL_SLO_BURN,
+        "ewma_1h": SQL_EWMA_1H,
+        "holt_1h": SQL_HOLT_1H,
     }
 
 def q_gapfill_lang_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,4 +1333,102 @@ sl AS (
 SELECT host, n, corr, slope,
        (dsy - slope * dsx) / dn AS intercept
 FROM sl
+"""
+
+
+# ---------------------------------------------------------------------------
+# exponential smoothing (operators/smooth.py — EWMA + Holt linear)
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha=0.25) over the hourly per-host byte series
+    (operators/smooth.py). The recursion e_t = 0.25*x_t + 0.75*e_{t-1}
+    runs in identical operand order in the pandas stage and the DuckDB
+    recursive-CTE twin, so the 6-decimal-rounded output is exact."""
+    from .operators import smooth
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 3600))
+        .agg(F.sum("page_size").alias("b"))
+    )
+    out = smooth.ewma(
+        hs, 0.25, keys=("host",), ts_col="bucket_sec", value_col="b", out_col="e"
+    )
+    return out.select(
+        "host", "bucket_sec", "b", F.round("e", 6).alias("ewma_r")
+    )
+
+
+SQL_EWMA_1H = f"""
+WITH RECURSIVE {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 3600) AS bucket_sec,
+         CAST(SUM(page_size) AS BIGINT) AS b
+  FROM pages GROUP BY 1, 2
+),
+base AS (
+  SELECT host, bucket_sec, b,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY bucket_sec) AS rn
+  FROM hs
+),
+rec AS (
+  SELECT host, bucket_sec, b, rn, CAST(b AS DOUBLE) AS e
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT nxt.host, nxt.bucket_sec, nxt.b, nxt.rn,
+         0.25 * CAST(nxt.b AS DOUBLE) + 0.75 * rec.e AS e
+  FROM base nxt JOIN rec ON nxt.host = rec.host AND nxt.rn = rec.rn + 1
+)
+SELECT host, bucket_sec, b, round(e, 6) AS ewma_r FROM rec
+"""
+
+
+def q_holt_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear smoothing (sf=0.5, tf=0.25) over the hourly per-host
+    byte series: level + trend per bucket (operators/smooth.py;
+    PromQL double_exponential_smoothing analog, b_1 pinned to 0)."""
+    from .operators import smooth
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 3600))
+        .agg(F.sum("page_size").alias("b"))
+    )
+    out = smooth.holt_linear(
+        hs, 0.5, 0.25, keys=("host",), ts_col="bucket_sec", value_col="b",
+        level_col="s", trend_col="tr",
+    )
+    return out.select(
+        "host", "bucket_sec", "b",
+        F.round("s", 6).alias("smooth_r"), F.round("tr", 6).alias("trend_r"),
+    )
+
+
+SQL_HOLT_1H = f"""
+WITH RECURSIVE {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 3600) AS bucket_sec,
+         CAST(SUM(page_size) AS BIGINT) AS b
+  FROM pages GROUP BY 1, 2
+),
+base AS (
+  SELECT host, bucket_sec, b,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY bucket_sec) AS rn
+  FROM hs
+),
+rec AS (
+  SELECT host, bucket_sec, b, rn,
+         CAST(b AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS tr
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT nxt.host, nxt.bucket_sec, nxt.b, nxt.rn,
+         0.5 * CAST(nxt.b AS DOUBLE) + 0.5 * (rec.s + rec.tr) AS s,
+         0.25 * ((0.5 * CAST(nxt.b AS DOUBLE) + 0.5 * (rec.s + rec.tr)) - rec.s)
+           + 0.75 * rec.tr AS tr
+  FROM base nxt JOIN rec ON nxt.host = rec.host AND nxt.rn = rec.rn + 1
+)
+SELECT host, bucket_sec, b, round(s, 6) AS smooth_r, round(tr, 6) AS trend_r
+FROM rec
 """

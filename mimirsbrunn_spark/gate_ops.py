@@ -815,6 +815,88 @@ WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SAMPLE_SEED}'), 1, 15)
 """
 
 
+# --- duplicate-passage detection (operators/passages.py) -------------------
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span stats: strided 20-token windows
+    (stride 10), a span is dup iff its gram occurs >=2 times corpus-wide
+    (cross-doc OR internal repetition). Gate variant keys on the gram
+    STRING (hasher='none') so the DuckDB twin is exactly equal; production
+    uses xxhash64 keys (operators/passages.py)."""
+    from .operators import passages
+
+    docs = _t(spark, sf_dir, "documents")
+    return passages.duplicate_passages(docs, n=20, stride=10, hasher="none")
+
+
+SQL_DUP_PASSAGES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS t
+  FROM documents
+), spans AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+19], ' ')
+                 for i in range(1, greatest(len(t) - 18, 1), 10)]) AS g
+  FROM toks
+), dup AS (
+  SELECT g FROM spans GROUP BY g HAVING count(*) >= 2
+), per AS (
+  SELECT s.doc_id, count(*) AS total,
+         sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) AS dup_n
+  FROM spans s LEFT JOIN dup d USING (g) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.total, 0) AS BIGINT) AS total_spans,
+       CAST(COALESCE(per.dup_n, 0) AS BIGINT) AS dup_spans,
+       CAST(COALESCE(per.dup_n, 0) AS DOUBLE)
+         / CAST(greatest(COALESCE(per.total, 0), 1) AS DOUBLE) AS dup_frac
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+# --- TF-IDF keyword extraction (operators/keywords.py) ---------------------
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document. The top-k pick is integer-
+    lexicographic (tf DESC, df ASC, term ASC) so the selected set is
+    engine-independent; the float score is output-only, rounded to 6."""
+    from .operators import keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    out = keywords.tfidf_topk(docs, k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+SQL_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS t
+  FROM documents
+), tt AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tt GROUP BY 1, 2
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln((SELECT n FROM n) / CAST(dfq.df AS DOUBLE)), 6) AS score_r,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS BIGINT) AS rnk
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, term, tf, df, score_r, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 def ops_queries() -> dict:
     return {
         "doc_tokens": q_doc_tokens,
@@ -838,6 +920,8 @@ def ops_queries() -> dict:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "bpe_tokens": q_bpe_tokens,
+        "dup_passages": q_dup_passages,
+        "tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -863,4 +947,6 @@ def ops_oracle_sql() -> dict:
         "pii_scrub": _pii_scrub_sql(),
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": _stratified_sample_sql(),
+        "dup_passages": SQL_DUP_PASSAGES,
+        "tfidf_topk": SQL_TFIDF_TOPK,
     }
