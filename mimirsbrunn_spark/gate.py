@@ -982,6 +982,8 @@ def core_queries() -> dict:
         "slo_burn": q_slo_burn,
         "ewma_1h": q_ewma_1h,
         "holt_1h": q_holt_1h,
+        "cusum_1h": q_cusum_1h,
+        "seasonal_z_1h": q_seasonal_z_1h,
     }
     return qs
 
@@ -1021,6 +1023,8 @@ def core_oracle_sql() -> dict:
         "slo_burn": SQL_SLO_BURN,
         "ewma_1h": SQL_EWMA_1H,
         "holt_1h": SQL_HOLT_1H,
+        "cusum_1h": SQL_CUSUM_1H,
+        "seasonal_z_1h": SQL_SEASONAL_Z_1H,
     }
 
 def q_gapfill_lang_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1431,4 +1435,144 @@ rec AS (
 )
 SELECT host, bucket_sec, b, round(s, 6) AS smooth_r, round(tr, 6) AS trend_r
 FROM rec
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoints + seasonal-profile z-score (operators/changepoint.py,
+# operators/anomaly.py)
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided standardized CUSUM (k=0.5, h=4.0) over the hourly per-host
+    doc-count series (operators/changepoint.py). Mean/std come from exact
+    BIGINT sums and the sp/sn recursions run in identical operand order in
+    the pandas stage and the DuckDB recursive-CTE twin, so the
+    6-decimal-rounded output is exact."""
+    from .operators import changepoint
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 3600))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = changepoint.cusum_changepoints(
+        hs, k=0.5, h=4.0, keys=("host",), ts_col="bucket_sec", value_col="c"
+    )
+    return out.select(
+        "host", "bucket_sec", "c",
+        F.round("z", 6).alias("z_r"),
+        F.round("cusum_pos", 6).alias("sp_r"),
+        F.round("cusum_neg", 6).alias("sn_r"),
+        "is_change",
+    )
+
+
+SQL_CUSUM_1H = f"""
+WITH RECURSIVE {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 3600) AS bucket_sec,
+         CAST(count(*) AS BIGINT) AS c
+  FROM pages GROUP BY 1, 2
+),
+st AS (
+  SELECT host, count(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+  FROM hs GROUP BY 1
+),
+zb AS (
+  SELECT hs.host, hs.bucket_sec, hs.c,
+         ROW_NUMBER() OVER (PARTITION BY hs.host ORDER BY hs.bucket_sec) AS rn,
+         CASE WHEN sqrt(greatest((CAST(st.ss AS DOUBLE)
+                 - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n) / st.n,
+                 0.0)) > 0.0
+              THEN (CAST(hs.c AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+                   / sqrt(greatest((CAST(st.ss AS DOUBLE)
+                 - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n) / st.n,
+                 0.0))
+              ELSE 0.0 END AS z
+  FROM hs JOIN st USING (host)
+),
+rec AS (
+  SELECT host, bucket_sec, c, rn, z,
+         greatest(z - 0.5, 0.0) AS sp,
+         greatest(-z - 0.5, 0.0) AS sn,
+         (greatest(z - 0.5, 0.0) > 4.0 OR greatest(-z - 0.5, 0.0) > 4.0)
+           AS alarm
+  FROM zb WHERE rn = 1
+  UNION ALL
+  SELECT nxt.host, nxt.bucket_sec, nxt.c, nxt.rn, nxt.z,
+         greatest((CASE WHEN rec.alarm THEN 0.0 ELSE rec.sp END)
+                  + nxt.z - 0.5, 0.0) AS sp,
+         greatest((CASE WHEN rec.alarm THEN 0.0 ELSE rec.sn END)
+                  - nxt.z - 0.5, 0.0) AS sn,
+         (greatest((CASE WHEN rec.alarm THEN 0.0 ELSE rec.sp END)
+                   + nxt.z - 0.5, 0.0) > 4.0
+          OR greatest((CASE WHEN rec.alarm THEN 0.0 ELSE rec.sn END)
+                   - nxt.z - 0.5, 0.0) > 4.0) AS alarm
+  FROM zb nxt JOIN rec ON nxt.host = rec.host AND nxt.rn = rec.rn + 1
+)
+SELECT host, bucket_sec, c, round(z, 6) AS z_r, round(sp, 6) AS sp_r,
+       round(sn, 6) AS sn_r, alarm AS is_change
+FROM rec
+"""
+
+
+def q_seasonal_z_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal-profile z-score (leave-one-out) over the hourly
+    per-host doc-count series (operators/anomaly.py seasonal_zscore):
+    "is 14:00 today unusual for 14:00 on this host"."""
+    from .operators import anomaly
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 3600))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = anomaly.seasonal_zscore(
+        hs, keys=("host",), ts_col="bucket_sec", value_col="c",
+        season_sec=86400, threshold=2.0, min_points=4,
+    )
+    return out.select(
+        "host", "bucket_sec", "phase", "value",
+        F.round("zscore", 6).alias("z_r"), "is_anomaly",
+    )
+
+
+SQL_SEASONAL_Z_1H = f"""
+WITH {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 3600) AS bucket_sec,
+         CAST(count(*) AS BIGINT) AS c
+  FROM pages GROUP BY 1, 2
+),
+ph AS (
+  SELECT host, bucket_sec, bucket_sec % 86400 AS phase, c,
+         count(*) OVER w AS n, SUM(c) OVER w AS s, SUM(c * c) OVER w AS ss
+  FROM hs
+  WINDOW w AS (PARTITION BY host, bucket_sec % 86400)
+),
+d AS (
+  SELECT host, bucket_sec, phase, c AS value, n,
+         CASE WHEN n > 1
+              THEN CAST(s - c AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS m,
+         CASE WHEN n > 1
+              THEN sqrt(greatest((CAST(ss - c * c AS DOUBLE)
+                - CAST(s - c AS DOUBLE) * CAST(s - c AS DOUBLE)
+                  / CAST(n - 1 AS DOUBLE)) / CAST(n - 1 AS DOUBLE), 0.0))
+         END AS std
+  FROM ph
+),
+zc AS (
+  SELECT host, bucket_sec, phase, value,
+         CASE WHEN (n - 1) >= 4 AND std > 0.0
+              THEN (CAST(value AS DOUBLE) - m) / std END AS z,
+         ((n - 1) >= 4 AND std = 0.0 AND CAST(value AS DOUBLE) <> m)
+           AS flat_out
+  FROM d
+)
+SELECT host, bucket_sec, phase, value, round(z, 6) AS z_r,
+       (COALESCE(abs(z) > 2.0, FALSE) OR COALESCE(flat_out, FALSE))
+         AS is_anomaly
+FROM zc
 """

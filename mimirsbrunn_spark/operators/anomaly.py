@@ -113,3 +113,68 @@ def forecast_seasonal_naive(
         (F.col("ts_sec") > F.col("_max_ts"))
         & (F.col("ts_sec") <= F.col("_max_ts") + horizon_n * step_sec)
     ).drop("_max_ts")
+
+
+def seasonal_zscore(
+    series: DataFrame,
+    keys: tuple[str, ...] = ("host",),
+    ts_col: str = "bucket_sec",
+    value_col: str = "doc_count",
+    season_sec: int = 86400,
+    threshold: float = 3.0,
+    min_points: int = 4,
+) -> DataFrame:
+    """Seasonal-profile z-score: each point is compared to the OTHER points
+    of the same phase-of-season for its key (leave-one-out, so a single
+    spike never suppresses its own detection) — "is 14:00 today unusual
+    for 14:00 on this host". ``phase = ts % season_sec`` (pass hourly
+    buckets with season_sec=86400 for an hour-of-day profile).
+
+    Exactness: per-(key, phase) n/S/SS are exact BIGINT window sums; the
+    leave-one-out mean/var/z are one deterministic double expression
+    (identical operand order to the DuckDB twin):
+        m  = (S - x) / n1
+        var = max(((SS - x*x) - (S - x)*(S - x)/n1) / n1, 0)
+    so a gate comparison at 6 decimals is safe. Values must be integer
+    doc-count scale (SS is a long sum — byte-scale values overflow it).
+
+    A point whose LOO window has ZERO variance but differs from its (then
+    exact) mean is flagged anomalous with ``zscore`` NULL — the classic LOO
+    blind spot (a lone spike against a constant profile excludes itself
+    from its own window) would otherwise suppress exactly the clearest
+    anomalies. The flat-window var/mean are exactly representable doubles
+    (integer sums < 2^53), so the std = 0 / x <> m tests are cross-engine
+    exact.
+
+    One Exchange on (*keys, phase); frames are whole-partition but a
+    partition holds only the same-phase buckets of one key's retention
+    window (e.g. 30 rows for 30 d of daily phases) — O(tier length).
+    Output: (*keys, ts, phase, value, zscore, is_anomaly)."""
+    phase = (F.col(ts_col).cast("long") % F.lit(int(season_sec))).alias("phase")
+    base = series.select(*keys, F.col(ts_col), phase, F.col(value_col).alias("value"))
+    w = Window.partitionBy(*keys, "phase")
+    x = F.col("value").cast("long")
+    n = F.count("value").over(w)
+    s = F.sum(x).over(w)
+    ss = F.sum(x * x).over(w)
+    n1 = (n - F.lit(1)).cast("double")
+    sx = (s - x).cast("double")
+    m = sx / n1
+    var = F.greatest(
+        ((ss - x * x).cast("double") - sx * sx / n1) / n1, F.lit(0.0)
+    )
+    std = F.sqrt(var)
+    guard = (n - F.lit(1)) >= F.lit(int(min_points))
+    z = F.when(guard & (std > 0), (x.cast("double") - m) / std)
+    flat_out = guard & (std == F.lit(0.0)) & (x.cast("double") != m)
+    return base.select(
+        *keys,
+        ts_col,
+        "phase",
+        "value",
+        z.alias("zscore"),
+        (
+            F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False))
+            | flat_out
+        ).alias("is_anomaly"),
+    )
