@@ -133,10 +133,20 @@ def main() -> None:
         pairs: list[dict] = []
         for rep in range(reps):
             t0 = time.time()
-            head = _run_side(REPO, pages, work)
-            refr = _run_side(ref_root, pages, work)
+            # alternate leg order: a periodic host throttle whose phase
+            # aligns with the pair cadence would otherwise hit the SAME
+            # side's leg every rep (observed: 3/3 reps slowing only the
+            # second leg's series_1m 6x while a manual replay showed
+            # parity) — order flipping turns that bias into noise the
+            # median rejects
+            if rep % 2 == 0:
+                head = _run_side(REPO, pages, work)
+                refr = _run_side(ref_root, pages, work)
+            else:
+                refr = _run_side(ref_root, pages, work)
+                head = _run_side(REPO, pages, work)
             pairs.append({
-                "head": head, "ref": refr,
+                "head": head, "ref": refr, "head_first": rep % 2 == 0,
                 "ratio": {q: round(head[q] / refr[q], 3) for q in QUERIES},
                 "wall": round(time.time() - t0, 1),
             })

@@ -984,6 +984,7 @@ def core_queries() -> dict:
         "holt_1h": q_holt_1h,
         "cusum_1h": q_cusum_1h,
         "seasonal_z_1h": q_seasonal_z_1h,
+        "interval_join": q_interval_join,
     }
     return qs
 
@@ -1025,6 +1026,7 @@ def core_oracle_sql() -> dict:
         "holt_1h": SQL_HOLT_1H,
         "cusum_1h": SQL_CUSUM_1H,
         "seasonal_z_1h": SQL_SEASONAL_Z_1H,
+        "interval_join": SQL_INTERVAL_JOIN,
     }
 
 def q_gapfill_lang_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1575,4 +1577,73 @@ SELECT host, bucket_sec, phase, value, round(z, 6) AS z_r,
        (COALESCE(abs(z) > 2.0, FALSE) OR COALESCE(flat_out, FALSE))
          AS is_anomaly
 FROM zc
+"""
+
+
+# ---------------------------------------------------------------------------
+# busy-island extraction + bucketed interval join (operators/intervals.py)
+# ---------------------------------------------------------------------------
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands busy periods (hourly doc_count >= 2, adjacent hours
+    merged) then every page tagged with the island containing its raw
+    timestamp via the bucket-decomposed interval join. The DuckDB twin uses
+    a NATIVE range join (IEJoin) over the same islands — the green hash
+    proves the equi-join decomposition implements exact range semantics."""
+    from .operators import intervals
+
+    pg = pages_df(spark, sf_dir)
+    hs = pg.groupBy("host", _bucket("warc_sec", 3600)).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    isl = intervals.busy_islands(
+        hs, F.col("c") >= 2, keys=("host",), ts_col="bucket_sec", step_sec=3600
+    )
+    out = intervals.interval_join(
+        pg.select("host", "warc_sec", "event_id"),
+        isl,
+        keys=("host",),
+        ts_col="warc_sec",
+        bucket_width_sec=3600,
+        how="inner",
+    )
+    return out.select(
+        "host", "event_id", "warc_sec",
+        F.col("island_id").cast("long").alias("island_id"),
+        "start_sec", "end_sec", "n_buckets",
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 3600) AS bucket_sec,
+         CAST(count(*) AS BIGINT) AS c
+  FROM pages GROUP BY 1, 2
+),
+qual AS (
+  SELECT host, bucket_sec,
+         lag(bucket_sec) OVER (PARTITION BY host ORDER BY bucket_sec) AS prev
+  FROM hs WHERE c >= 2
+),
+tagged AS (
+  SELECT host, bucket_sec,
+         SUM(CASE WHEN prev IS NULL OR bucket_sec - prev > 3600
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY bucket_sec) AS island_id
+  FROM qual
+),
+isl AS (
+  SELECT host, CAST(island_id AS BIGINT) AS island_id,
+         min(bucket_sec) AS start_sec,
+         max(bucket_sec) + 3600 AS end_sec,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM tagged GROUP BY 1, 2
+)
+SELECT p.host, p.event_id, p.warc_sec, i.island_id, i.start_sec, i.end_sec,
+       i.n_buckets
+FROM pages p
+JOIN isl i ON p.host = i.host
+          AND p.warc_sec >= i.start_sec AND p.warc_sec < i.end_sec
 """
