@@ -186,3 +186,44 @@ def test_slo_burn_two_exchanges_and_hdr_pick_rides_window(spark):
     pq = plan_str(q, "simple")
     assert "Join" not in pq
     assert pq.count("Exchange") == 2
+
+
+def test_smooth_cusum_seasonal_single_exchange(spark):
+    """The sequential per-key stages (ewma/holt/cusum: applyInPandas) and
+    the seasonal-profile window must each cost exactly ONE Exchange on
+    their key columns — a second Exchange means a redundant repartition
+    crept in front of the pandas stage."""
+    from mimirsbrunn_spark.operators import anomaly, changepoint, smooth
+
+    hs = spark.createDataFrame(
+        [("a", 0, 1)], "host string, bucket_sec long, c long"
+    )
+    for df in (
+        smooth.ewma(hs, 0.25, ts_col="bucket_sec", value_col="c"),
+        smooth.holt_linear(hs, 0.5, 0.25, ts_col="bucket_sec", value_col="c"),
+        changepoint.cusum_changepoints(hs, ts_col="bucket_sec", value_col="c"),
+        anomaly.seasonal_zscore(hs, ts_col="bucket_sec", value_col="c"),
+    ):
+        p = plan_str(df, "simple")
+        assert p.count("Exchange") == 1, p
+
+
+def test_interval_join_is_equi_join_no_cross(spark):
+    """interval_join must compile to an EQUI join (SortMergeJoin or
+    ShuffledHashJoin/BroadcastHashJoin on keys+bucket) — a
+    BroadcastNestedLoopJoin or CartesianProduct means the bucket
+    decomposition regressed to a range cross-product."""
+    from mimirsbrunn_spark.operators import intervals
+
+    isl = spark.createDataFrame(
+        [("a", 1, 0, 7200, 2)],
+        "host string, island_id long, start_sec long, end_sec long, n_buckets long",
+    )
+    pts = spark.createDataFrame([("a", 5)], "host string, warc_sec long")
+    for how in ("inner", "left"):
+        p = plan_str(
+            intervals.interval_join(pts, isl, ts_col="warc_sec", how=how),
+            "simple",
+        )
+        assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+        assert ("SortMergeJoin" in p) or ("HashJoin" in p), p
