@@ -922,6 +922,7 @@ def ops_queries() -> dict:
         "bpe_tokens": q_bpe_tokens,
         "dup_passages": q_dup_passages,
         "tfidf_topk": q_tfidf_topk,
+        "pps_sample": q_pps_sample,
     }
 
 
@@ -949,4 +950,45 @@ def ops_oracle_sql() -> dict:
         "stratified_sample": _stratified_sample_sql(),
         "dup_passages": SQL_DUP_PASSAGES,
         "tfidf_topk": SQL_TFIDF_TOPK,
+        "pps_sample": SQL_PPS_SAMPLE,
     }
+
+
+# --- PPS systematic sampling (operators/sampling.py) ------------------------
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sample: 25 picks per
+    lang, proportional to text byte length, rows shuffled by the seeded
+    md5_60 bucket — ALL integer arithmetic (running sums + integer DIV),
+    so the exact pick set and multiplicities reproduce in DuckDB."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.withColumn("w", F.octet_length("text").cast("long"))
+    out = sampling.pps_systematic_sample(
+        w, "w", 25, strata=("lang",), key_col="doc_id",
+        seed=_SAMPLE_SEED, hasher="md5_60",
+    )
+    return out.select("doc_id", "lang", "w", "n_picks")
+
+
+SQL_PPS_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS w,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SAMPLE_SEED}'),
+           1, 15))::BIGINT) % 1000000 AS b
+  FROM documents WHERE strlen(text) > 0
+),
+cum AS (
+  SELECT doc_id, lang, w,
+         SUM(w) OVER (PARTITION BY lang ORDER BY b, CAST(doc_id AS VARCHAR)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(w) OVER (PARTITION BY lang) AS tot
+  FROM base
+)
+SELECT doc_id, lang, w,
+       CAST((c * 25) // tot - ((c - w) * 25) // tot AS BIGINT) AS n_picks
+FROM cum
+WHERE (c * 25) // tot - ((c - w) * 25) // tot >= 1
+"""

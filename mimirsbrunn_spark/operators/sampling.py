@@ -81,3 +81,65 @@ def sample_metrics(
             "achieved_rate"
         ),
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n_per_stratum: int,
+    strata: tuple[str, ...] = ("lang",),
+    key_col: str = "doc_id",
+    seed: int = 0,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: per stratum,
+    exactly ``n_per_stratum`` picks distributed over the rows with
+    probability proportional to integer ``weight_col`` (e.g. byte or token
+    counts — "sample 1M documents proportional to token count" for corpus
+    mixing where long documents should be drawn more often).
+
+    Mechanics (all INTEGER arithmetic — exactly reproducible across runs,
+    engines and partitionings, same discipline as ``stratified_sample``):
+    rows are ordered by their seeded hash bucket (a deterministic shuffle,
+    key as tiebreak), cum_i = running weight sum, W = stratum total, and
+    row i receives ``n_picks = floor(cum_i*n/W) - floor(cum_{i-1}*n/W)``
+    (>= 1 means selected; a row heavier than W/n can carry several picks —
+    kept once with its multiplicity). The per-stratum pick count sums to
+    exactly n by telescoping. Rows with weight <= 0 are excluded.
+
+    Bounds: cum*n must fit in a signed 64-bit (W * n < 2^63) — holds for
+    any per-stratum slice a sampling job would take in one pass; under
+    ANSI mode an overflow fails loudly rather than sampling wrong.
+
+    Scale shape: ONE Exchange on the strata columns (running-sum window +
+    the same-keyed total), no joins, no collect. Output: the selected rows
+    + ``n_picks``."""
+    n = int(n_per_stratum)
+    if n <= 0:
+        raise ValueError(f"n_per_stratum must be > 0, got {n_per_stratum}")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("long")
+    bucket = sample_bucket(F.col(key_col), seed=seed, hasher=hasher)
+    base = df.filter(w > 0).withColumn("_bucket", bucket)
+    order = Window.partitionBy(*strata).orderBy(
+        "_bucket", F.col(key_col).cast("string")
+    )
+    whole = Window.partitionBy(*strata)
+    cum = F.sum(w).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum(w).over(whole)
+    # integer division (DIV), not `/`: long / long is DOUBLE in Spark and
+    # loses exactness past 2^53 — the floor must be true integer floor
+    staged = base.select(
+        "*",
+        (cum * F.lit(n)).alias("_cumn"),
+        (w * F.lit(n)).alias("_wn"),
+        tot.alias("_tot"),
+    )
+    picks = F.expr("_cumn DIV _tot") - F.expr("(_cumn - _wn) DIV _tot")
+    out = staged.withColumn("n_picks", picks.cast("long")).drop(
+        "_bucket", "_cumn", "_wn", "_tot"
+    )
+    return out.filter(F.col("n_picks") >= 1)

@@ -160,3 +160,90 @@ def test_curation_funnel_with_decontam_and_sampling(spark):
     post = {r.doc_id for r in stages["decontaminate"].select("doc_id").collect()}
     assert 7 in pre and 7 not in post   # the eval-overlapping page dropped
     assert stages["stratified_sample"].count() == len(post)  # rate 1.0
+
+
+# --------------------------------------------------------------------------
+# PPS systematic sampling
+# --------------------------------------------------------------------------
+
+
+def _py_pps(rows, n, seed_order):
+    """rows: list of (key, stratum, w). seed_order: key -> sort bucket."""
+    out = {}
+    by_stratum = {}
+    for k, s, w in rows:
+        if w > 0:
+            by_stratum.setdefault(s, []).append((k, w))
+    for s, items in by_stratum.items():
+        items.sort(key=lambda kw: (seed_order[kw[0]], str(kw[0])))
+        tot = sum(w for _, w in items)
+        cum = 0
+        for k, w in items:
+            prev = cum
+            cum += w
+            picks = (cum * n) // tot - (prev * n) // tot
+            if picks >= 1:
+                out[(s, k)] = picks
+    return out
+
+
+def test_pps_exact_n_and_multiplicity(spark):
+    from mimirsbrunn_spark.operators import sampling
+
+    rows = [(f"d{i}", "en" if i % 2 else "de", (i % 7) + 1) for i in range(200)]
+    rows.append(("huge", "en", 10_000))  # heavier than W/n: multi-pick row
+    df = spark.createDataFrame(rows, "doc_id string, lang string, w long")
+    n = 10
+    got = sampling.pps_systematic_sample(
+        df, "w", n, strata=("lang",), key_col="doc_id", seed=7
+    ).collect()
+    # per stratum the pick count telescopes to exactly n
+    by_lang = {}
+    for r in got:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + r.n_picks
+    assert by_lang == {"en": n, "de": n}
+    # the heavy row must be selected and carry multiplicity > 1
+    heavy = [r for r in got if r.doc_id == "huge"]
+    assert heavy and heavy[0].n_picks > 1
+    # exact agreement with the python reference (same hash order)
+    order = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id",
+            sampling.sample_bucket(F.col("doc_id"), seed=7).alias("b"),
+        ).collect()
+    }
+    exp = _py_pps([(r, l, w) for r, l, w in rows], n, order)
+    assert {(r.lang, r.doc_id): r.n_picks for r in got} == exp
+
+
+def test_pps_drops_nonpositive_weights_and_validates(spark):
+    from mimirsbrunn_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("a", "en", 0), ("b", "en", -3), ("c", "en", 5)],
+        "doc_id string, lang string, w long",
+    )
+    got = sampling.pps_systematic_sample(df, "w", 3, key_col="doc_id").collect()
+    assert [(r.doc_id, r.n_picks) for r in got] == [("c", 3)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sampling.pps_systematic_sample(df, "w", 0, key_col="doc_id")
+
+
+def test_pps_deterministic_across_partitionings(spark):
+    from mimirsbrunn_spark.operators import sampling
+
+    rows = [(f"d{i}", "en", (i * 13) % 50 + 1) for i in range(500)]
+    df1 = spark.createDataFrame(rows, "doc_id string, lang string, w long")
+    df2 = df1.repartition(17)
+    a = {
+        (r.doc_id, r.n_picks)
+        for r in sampling.pps_systematic_sample(df1, "w", 25, key_col="doc_id").collect()
+    }
+    b = {
+        (r.doc_id, r.n_picks)
+        for r in sampling.pps_systematic_sample(df2, "w", 25, key_col="doc_id").collect()
+    }
+    assert a == b and len(a) <= 25
