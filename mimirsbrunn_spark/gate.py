@@ -984,6 +984,7 @@ def core_queries() -> dict:
         "holt_1h": q_holt_1h,
         "cusum_1h": q_cusum_1h,
         "seasonal_z_1h": q_seasonal_z_1h,
+        "mad_z_1h": q_mad_z_1h,
         "interval_join": q_interval_join,
     }
     return qs
@@ -1026,6 +1027,7 @@ def core_oracle_sql() -> dict:
         "holt_1h": SQL_HOLT_1H,
         "cusum_1h": SQL_CUSUM_1H,
         "seasonal_z_1h": SQL_SEASONAL_Z_1H,
+        "mad_z_1h": SQL_MAD_Z_1H,
         "interval_join": SQL_INTERVAL_JOIN,
     }
 
@@ -1575,6 +1577,74 @@ zc AS (
 )
 SELECT host, bucket_sec, phase, value, round(z, 6) AS z_r,
        (COALESCE(abs(z) > 2.0, FALSE) OR COALESCE(flat_out, FALSE))
+         AS is_anomaly
+FROM zc
+"""
+
+
+def q_mad_z_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD z-score over the hourly per-host doc-count series
+    (operators/anomaly.py mad_zscore): rank-math exact medians, so the
+    whole row — median, MAD, z at 6 dp — is hash-exact vs DuckDB."""
+    from .operators import anomaly
+
+    hs = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", _bucket("warc_sec", 3600))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = anomaly.mad_zscore(
+        hs, keys=("host",), ts_col="bucket_sec", value_col="c",
+        threshold=3.5, min_points=8,
+    )
+    return out.select(
+        "host", "bucket_sec", "value", "median", "mad",
+        F.round("zscore", 6).alias("z_r"), "is_anomaly",
+    )
+
+
+SQL_MAD_Z_1H = f"""
+WITH {PAGES_CTE},
+hs AS (
+  SELECT host, warc_sec - (warc_sec % 3600) AS bucket_sec,
+         CAST(count(*) AS BIGINT) AS c
+  FROM pages GROUP BY 1, 2
+),
+r1 AS (
+  SELECT host, bucket_sec, c,
+         count(*) OVER (PARTITION BY host) AS n,
+         row_number() OVER (PARTITION BY host ORDER BY c, bucket_sec) AS rn1
+  FROM hs
+),
+m1 AS (
+  SELECT *,
+         AVG(CASE WHEN rn1 = (n + 1) // 2 OR rn1 = (n + 2) // 2
+                  THEN CAST(c AS DOUBLE) END)
+           OVER (PARTITION BY host) AS med
+  FROM r1
+),
+r2 AS (
+  SELECT *, abs(CAST(c AS DOUBLE) - med) AS d,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY abs(CAST(c AS DOUBLE) - med), bucket_sec) AS rn2
+  FROM m1
+),
+m2 AS (
+  SELECT *,
+         AVG(CASE WHEN rn2 = (n + 1) // 2 OR rn2 = (n + 2) // 2 THEN d END)
+           OVER (PARTITION BY host) AS mad
+  FROM r2
+),
+zc AS (
+  SELECT host, bucket_sec, c AS value, med, mad,
+         CASE WHEN n >= 8 AND mad > 0.0
+              THEN 0.6745 * (CAST(c AS DOUBLE) - med) / mad END AS z,
+         (n >= 8 AND mad = 0.0 AND CAST(c AS DOUBLE) <> med) AS flat_out
+  FROM m2
+)
+SELECT host, bucket_sec, value, med AS median, mad, round(z, 6) AS z_r,
+       (COALESCE(abs(z) > 3.5, FALSE) OR COALESCE(flat_out, FALSE))
          AS is_anomaly
 FROM zc
 """

@@ -178,3 +178,93 @@ def seasonal_zscore(
             | flat_out
         ).alias("is_anomaly"),
     )
+
+
+def mad_zscore(
+    series: DataFrame,
+    keys: tuple[str, ...] = ("host",),
+    ts_col: str = "bucket_sec",
+    value_col: str = "doc_count",
+    threshold: float = 3.5,
+    min_points: int = 8,
+    scale: float = 0.6745,
+) -> DataFrame:
+    """Robust (median/MAD) z-score per series key — the outlier detector
+    that survives what breaks ``zscore_anomaly`` on web-traffic series:
+    heavy-tailed values, where one crawl burst inflates the mean AND the
+    std enough to mask every other anomaly. Median and MAD have a 50%
+    breakdown point; z = scale * (x - median) / MAD with the conventional
+    0.6745 consistency factor (MAD/0.6745 estimates sigma for a normal),
+    flagged at the classic |z| > 3.5.
+
+    Exactness (the reason this does NOT use percentile/median built-ins):
+    both medians are computed by RANK math — row_number over the ordered
+    partition picks the two middle rows, median = avg of those ≤2 values —
+    so there is no interpolation semantic to diverge across engines. For
+    integer inputs every intermediate is an exactly-representable double
+    (a long, or the midpoint of two longs; |x - med| is then a multiple of
+    0.5), and ties in the sort cannot change WHICH VALUE sits at a given
+    rank, only which row carries it — the median is tie-invariant. A gate
+    comparison at 6 decimals is safe.
+
+    A key whose MAD is zero (>50% of points equal the median — e.g. a
+    mostly-idle host) gets the flat-profile clause: a point differing from
+    the median is anomalous with ``zscore`` NULL, mirroring
+    ``seasonal_zscore``'s blind-spot handling.
+
+    Scale shape: ONE Exchange on (*keys); the two ranked passes are extra
+    sorts riding the same partitioning, frames are whole-partition over
+    one key's tier window (O(series length), never O(doc count)).
+    Output: (*keys, ts, value, median, mad, zscore, is_anomaly)."""
+    x = F.col(value_col).cast("long")
+    base = series.select(*keys, F.col(ts_col), x.alias("value"))
+    whole = Window.partitionBy(*keys)
+    n = F.count("value").over(whole)
+    rn1 = F.row_number().over(
+        Window.partitionBy(*keys).orderBy("value", ts_col)
+    )
+    mid1 = F.expr("(_n + 1) DIV 2")  # middle ranks via true integer floor
+    mid2 = F.expr("(_n + 2) DIV 2")
+    staged = base.select("*", n.alias("_n"), rn1.alias("_rn1"))
+    med = F.avg(
+        F.when(
+            (F.col("_rn1") == mid1) | (F.col("_rn1") == mid2),
+            F.col("value").cast("double"),
+        )
+    ).over(whole)
+    with_med = staged.select("*", med.alias("median"))
+    d = F.abs(F.col("value").cast("double") - F.col("median"))
+    rn2 = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(d.asc(), F.col(ts_col))
+    )
+    staged2 = with_med.select("*", d.alias("_d"), rn2.alias("_rn2"))
+    mad = F.avg(
+        F.when(
+            (F.col("_rn2") == mid1) | (F.col("_rn2") == mid2), F.col("_d")
+        )
+    ).over(whole)
+    out = staged2.select("*", mad.alias("mad"))
+    guard = F.col("_n") >= F.lit(int(min_points))
+    z = F.when(
+        guard & (F.col("mad") > 0),
+        F.lit(float(scale))
+        * (F.col("value").cast("double") - F.col("median"))
+        / F.col("mad"),
+    )
+    flat_out = (
+        guard
+        & (F.col("mad") == F.lit(0.0))
+        & (F.col("value").cast("double") != F.col("median"))
+    )
+    return out.select(
+        *keys,
+        ts_col,
+        "value",
+        "median",
+        "mad",
+        z.alias("zscore"),
+        (
+            F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False))
+            | flat_out
+        ).alias("is_anomaly"),
+    )

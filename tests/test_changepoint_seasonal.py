@@ -201,3 +201,69 @@ def test_seasonal_zscore_min_points_guard(spark):
     ).collect()
     assert len(got) == 4
     assert all(r.zscore is None and not r.is_anomaly for r in got)
+
+
+# --------------------------------------------------------------------------
+# MAD robust z-score
+# --------------------------------------------------------------------------
+
+
+def _py_median_mad(vals):
+    s = sorted(vals)
+    n = len(s)
+    med = (s[(n - 1) // 2] + s[n // 2]) / 2
+    d = sorted(abs(v - med) for v in vals)
+    mad = (d[(n - 1) // 2] + d[n // 2]) / 2
+    return med, mad
+
+
+def test_mad_zscore_exact_median_mad_and_burst(spark):
+    h1 = [5, 7, 6, 5, 8, 6, 7, 5, 100, 6, 5, 7]  # even n, burst at idx 8
+    h3 = [3, 9, 4, 8, 5, 7, 6, 2, 11]            # odd n
+    rows = [("h1", i * 3600, v) for i, v in enumerate(h1)]
+    rows += [("h3", i * 3600, v) for i, v in enumerate(h3)]
+    df = spark.createDataFrame(rows, "host string, bucket_sec long, doc_count long")
+    out = anomaly.mad_zscore(df, keys=("host",), min_points=8).collect()
+    for h, vals in (("h1", h1), ("h3", h3)):
+        med, mad = _py_median_mad(vals)
+        got = [r for r in out if r.host == h]
+        assert len(got) == len(vals)
+        assert all(r.median == med and r.mad == mad for r in got), (h, got[0])
+        for r in got:
+            exp = 0.6745 * (r.value - med) / mad
+            assert abs(r.zscore - exp) < 1e-12
+            assert r.is_anomaly == (abs(exp) > 3.5)
+    burst = [r for r in out if r.host == "h1" and r.value == 100][0]
+    assert burst.is_anomaly and burst.zscore > 3.5
+    # mean/std z-score on the same series: the burst inflates std enough
+    # that MAD is the detector that still fires on crafted mild anomalies —
+    # here just pin that the burst's robust z dwarfs its normal z
+    assert burst.zscore > 10
+
+
+def test_mad_zscore_flat_profile_and_min_points(spark):
+    rows = [("h2", i * 3600, 4) for i in range(10)] + [("h2", 36000, 50)]
+    rows += [("tiny", i * 3600, i) for i in range(5)]  # below min_points
+    df = spark.createDataFrame(rows, "host string, bucket_sec long, doc_count long")
+    out = anomaly.mad_zscore(df, keys=("host",), min_points=8).collect()
+    o = [r for r in out if r.host == "h2" and r.value == 50][0]
+    assert o.is_anomaly and o.zscore is None and o.mad == 0.0
+    assert all(not r.is_anomaly for r in out if r.host == "h2" and r.value == 4)
+    assert all(r.zscore is None and not r.is_anomaly for r in out if r.host == "tiny")
+
+
+def test_mad_zscore_partition_invariant_single_exchange(spark):
+    random.seed(5)
+    rows = [("h%d" % (i % 3), i * 60, random.randrange(100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "host string, bucket_sec long, doc_count long")
+    key = lambda rs: {(r.host, r.bucket_sec, r.median, r.mad, r.zscore, r.is_anomaly) for r in rs}  # noqa: E731
+    a = key(anomaly.mad_zscore(df, keys=("host",)).collect())
+    b = key(anomaly.mad_zscore(df.repartition(13), keys=("host",)).collect())
+    assert a == b and len(a) == 300
+    plan = (
+        anomaly.mad_zscore(df, keys=("host",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
