@@ -985,6 +985,7 @@ def core_queries() -> dict:
         "cusum_1h": q_cusum_1h,
         "seasonal_z_1h": q_seasonal_z_1h,
         "mad_z_1h": q_mad_z_1h,
+        "trimmed_mean_1h": q_trimmed_mean_1h,
         "interval_join": q_interval_join,
     }
     return qs
@@ -1028,6 +1029,7 @@ def core_oracle_sql() -> dict:
         "cusum_1h": SQL_CUSUM_1H,
         "seasonal_z_1h": SQL_SEASONAL_Z_1H,
         "mad_z_1h": SQL_MAD_Z_1H,
+        "trimmed_mean_1h": SQL_TRIMMED_MEAN_1H,
         "interval_join": SQL_INTERVAL_JOIN,
     }
 
@@ -1647,6 +1649,48 @@ SELECT host, bucket_sec, value, med AS median, mad, round(z, 6) AS z_r,
        (COALESCE(abs(z) > 3.5, FALSE) OR COALESCE(flat_out, FALSE))
          AS is_anomaly
 FROM zc
+"""
+
+
+def q_trimmed_mean_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust hourly rollup: per (host, hour), the 10%-trimmed mean of the
+    minute-level doc-count series (operators/stats.py trimmed_mean) —
+    rank-range membership is tie-invariant, so n/n_kept/mean are all
+    hash-exact vs DuckDB."""
+    from .operators import stats
+
+    m = (
+        pages_df(spark, sf_dir)
+        .groupBy("host", (F.col("warc_sec") - (F.col("warc_sec") % 60)).alias("m_sec"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("bucket_sec", F.col("m_sec") - (F.col("m_sec") % 3600))
+    )
+    return stats.trimmed_mean(
+        m, "c", ("host", "bucket_sec"), trim_pct=10, tiebreak="m_sec"
+    ).select("host", "bucket_sec", "n", "n_kept", "trimmed_mean")
+
+
+SQL_TRIMMED_MEAN_1H = f"""
+WITH {PAGES_CTE},
+m AS (
+  SELECT host, warc_sec - (warc_sec % 60) AS m_sec,
+         CAST(count(*) AS BIGINT) AS c
+  FROM pages GROUP BY 1, 2
+),
+r AS (
+  SELECT host, m_sec - (m_sec % 3600) AS bucket_sec, c,
+         count(*) OVER w AS n,
+         row_number() OVER (
+           PARTITION BY host, m_sec - (m_sec % 3600) ORDER BY c, m_sec) AS rn
+  FROM m WINDOW w AS (PARTITION BY host, m_sec - (m_sec % 3600))
+),
+kk AS (
+  SELECT *, least((n * 10) // 100, (n - 1) // 2) AS k FROM r
+)
+SELECT host, bucket_sec, MAX(n) AS n, count(*) AS n_kept,
+       CAST(SUM(c) AS DOUBLE) / count(*) AS trimmed_mean
+FROM kk WHERE rn > k AND rn <= n - k
+GROUP BY 1, 2
 """
 
 

@@ -201,3 +201,51 @@ def corr_from_stats(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    by: tuple[str, ...],
+    trim_pct: int = 10,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Robust continuous aggregate: per group, the mean of ``value_col``
+    after trimming the ``trim_pct``% rank-extremes from EACH end — the
+    rollup-side counterpart of anomaly.mad_zscore (a crawl burst or a
+    dead-minute zero in the bucket no longer drags the tier's mean).
+
+    Exactness discipline (same as the six-sum stats above): the trim count
+    is pure integer math ``k = (n * trim_pct) DIV 100`` (clamped so at
+    least one row survives), membership is decided by rank, and because a
+    rank RANGE always selects the same multiset of values regardless of
+    how ties were broken, the kept-set is engine-independent; the mean is
+    one exact-BIGINT-sum / count double. ``tiebreak`` orders equal values
+    (defaults to the value alone — ties don't change the result).
+
+    Scale shape: one Exchange on (*by) for the rank window; the following
+    groupBy rides the same partitioning (no second shuffle). Output one
+    row per group: (*by, n, n_kept, trimmed_mean).
+    """
+    if not 0 <= int(trim_pct) < 50:
+        raise ValueError(f"trim_pct must be in [0, 50), got {trim_pct}")
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    order = [F.col(value_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*by)
+    rn = F.row_number().over(Window.partitionBy(*by).orderBy(*order))
+    staged = df.select(
+        *by, v.alias("_v"), rn.alias("_rn"), F.count(F.lit(1)).over(w).alias("_n")
+    )
+    k = F.least(
+        F.expr(f"(_n * {int(trim_pct)}) DIV 100"), F.expr("(_n - 1) DIV 2")
+    )
+    kept = staged.withColumn("_k", k).filter(
+        (F.col("_rn") > F.col("_k")) & (F.col("_rn") <= F.col("_n") - F.col("_k"))
+    )
+    return kept.groupBy(*by).agg(
+        F.max("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.sum("_v").cast("double") / F.count(F.lit(1))).alias("trimmed_mean"),
+    )

@@ -277,3 +277,64 @@ def test_stats_job_incremental_refresh_equals_full(spark, small_pages_path, tmp_
         b = read_stats(spark, full, tier)
         assert a.count() == b.count() > 0, tier
         assert a.exceptAll(b).count() == 0, tier
+
+
+# --------------------------------------------------------------------------
+# trimmed mean (robust rollup aggregate)
+# --------------------------------------------------------------------------
+
+
+def _py_trimmed(vals, pct):
+    s = sorted(vals)
+    n = len(s)
+    k = min((n * pct) // 100, (n - 1) // 2)
+    kept = s[k : n - k]
+    return n, len(kept), sum(kept) / len(kept)
+
+
+def test_trimmed_mean_matches_reference_and_edges(spark):
+    from mimirsbrunn_spark.operators import stats
+
+    import random
+
+    random.seed(2)
+    groups = {
+        "one": [7],                      # n=1: k clamps to 0
+        "two": [3, 9],                   # n=2: k clamps to 0 (keeps both)
+        "burst": [5] * 18 + [0, 900],    # outliers at both ends trimmed
+        "rand": [random.randrange(10_000) for _ in range(37)],
+    }
+    rows = [(g, i, v) for g, vals in groups.items() for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "host string, ts long, c long")
+    out = {
+        r.host: (r.n, r.n_kept, r.trimmed_mean)
+        for r in stats.trimmed_mean(df, "c", ("host",), trim_pct=10).collect()
+    }
+    for g, vals in groups.items():
+        assert out[g] == _py_trimmed(vals, 10), g
+    # the burst group's trimmed mean is exactly the clean value
+    assert out["burst"][2] == 5.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stats.trimmed_mean(df, "c", ("host",), trim_pct=50)
+
+
+def test_trimmed_mean_partition_invariant_single_exchange(spark):
+    from mimirsbrunn_spark.operators import stats
+
+    rows = [("h%d" % (i % 4), i, (i * 17) % 1000) for i in range(400)]
+    df = spark.createDataFrame(rows, "host string, ts long, c long")
+    a = {tuple(r) for r in stats.trimmed_mean(df, "c", ("host",)).collect()}
+    b = {
+        tuple(r)
+        for r in stats.trimmed_mean(df.repartition(11), "c", ("host",)).collect()
+    }
+    assert a == b and len(a) == 4
+    plan = (
+        stats.trimmed_mean(df, "c", ("host",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # groupBy rides the window partitioning
