@@ -986,6 +986,7 @@ def core_queries() -> dict:
         "seasonal_z_1h": q_seasonal_z_1h,
         "mad_z_1h": q_mad_z_1h,
         "trimmed_mean_1h": q_trimmed_mean_1h,
+        "crawl_cadence": q_crawl_cadence,
         "interval_join": q_interval_join,
     }
     return qs
@@ -1030,6 +1031,7 @@ def core_oracle_sql() -> dict:
         "seasonal_z_1h": SQL_SEASONAL_Z_1H,
         "mad_z_1h": SQL_MAD_Z_1H,
         "trimmed_mean_1h": SQL_TRIMMED_MEAN_1H,
+        "crawl_cadence": SQL_CRAWL_CADENCE,
         "interval_join": SQL_INTERVAL_JOIN,
     }
 
@@ -1691,6 +1693,47 @@ SELECT host, bucket_sec, MAX(n) AS n, count(*) AS n_kept,
        CAST(SUM(c) AS DOUBLE) / count(*) AS trimmed_mean
 FROM kk WHERE rn > k AND rn <= n - k
 GROUP BY 1, 2
+"""
+
+
+def q_crawl_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-cadence health (operators/counters.py cadence_stats):
+    inter-arrival gap count, mean gap, coefficient of variation, max gap.
+    Gaps are differences of the SORTED timestamp multiset — tie-invariant —
+    and the sums are exact (BIGINT / DECIMAL(38,0)), so mean/cv at 6 dp
+    are hash-safe vs DuckDB's HUGEINT twin."""
+    from .operators import counters
+
+    pg = pages_df(spark, sf_dir).select("host", F.col("warc_sec").alias("ts_sec"))
+    out = counters.cadence_stats(pg, keys=("host",), ts_col="ts_sec")
+    return out.select(
+        "host", "n_gaps", F.round("mean_gap", 6).alias("mean_gap_r"),
+        F.round("cv", 6).alias("cv_r"), "max_gap",
+    )
+
+
+SQL_CRAWL_CADENCE = f"""
+WITH {PAGES_CTE},
+g AS (
+  SELECT host,
+         warc_sec - lag(warc_sec)
+           OVER (PARTITION BY host ORDER BY warc_sec) AS gap
+  FROM pages
+),
+a AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_gaps, SUM(gap) AS s,
+         SUM(CAST(gap AS HUGEINT) * gap) AS ss, MAX(gap) AS max_gap
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT host, n_gaps,
+       round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_r,
+       round(CASE WHEN n_gaps >= 2 AND s > 0 THEN
+         sqrt(greatest((CAST(ss AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+           / CAST(n_gaps AS DOUBLE), 0.0))
+         / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) END, 6) AS cv_r,
+       max_gap
+FROM a
 """
 
 

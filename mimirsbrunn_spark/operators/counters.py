@@ -273,3 +273,58 @@ def idelta(
         .where(F.col("_last") & F.col("_pv").isNotNull())
         .drop("_pv", "_last")
     )
+
+
+def cadence_stats(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("host",),
+    ts_col: str = "ts_sec",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Crawl-cadence health per key from the inter-arrival gaps: how
+    regularly is this host being crawled? Emits, per key, the exact gap
+    count / mean gap / coefficient of variation (std/mean — the standard
+    dimensionless regularity score: ~0 = metronomic, ≥1 = bursty) and the
+    max gap (the worst coverage hole, the alerting signal).
+
+    Exactness: gaps are integer lag deltas; n/Σg/Σg² aggregate as exact
+    BIGINTs (map-side combinable), and mean/cv are derived in one double
+    formula each — hash-safe vs a DuckDB twin (gate.py float rule).
+    Population std (÷n), matching the engine's other variance ops. Keys
+    with fewer than ``min_gaps`` gaps get cv NULL (a single gap has no
+    spread); duplicate timestamps contribute zero-length gaps (they count —
+    a double-crawl is cadence noise, not a no-op).
+
+    Scale shape: ONE Exchange on (*keys) for the lag window; the groupBy
+    rides the same partitioning. Σg² accumulates as DECIMAL(38,0) — a long
+    sum would overflow at ~10⁶ gaps of year-scale spans (10⁶·(3·10⁷)² >
+    2⁶³) — which is exact, merge-associative, and only cast to double in
+    the final formula (both engines round the same exact integer).
+    Output: (*keys, n_gaps, mean_gap, cv, max_gap)."""
+    sec = F.col(ts_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(sec)
+    g = (sec - F.lag(sec).over(w)).alias("gap")
+    gaps = events.select(*keys, g).filter(F.col("gap").isNotNull())
+    gd = F.col("gap").cast("decimal(38,0)")
+    agg = gaps.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("_s"),
+        F.sum(gd * gd).alias("_ss"),
+        F.max("gap").alias("max_gap"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mean = s / n
+    var = F.greatest((ss - s * s / n) / n, F.lit(0.0))
+    cv = F.when(
+        (F.col("n_gaps") >= F.lit(int(min_gaps))) & (F.col("_s") > 0),
+        F.sqrt(var) / mean,
+    )
+    return agg.select(
+        *keys,
+        "n_gaps",
+        mean.alias("mean_gap"),
+        cv.alias("cv"),
+        "max_gap",
+    )

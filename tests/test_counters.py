@@ -195,3 +195,66 @@ def test_gate_queries_run(spark):
     t = q_time_weighted(spark, "/root/testdata/sf0.001")
     assert t.columns == ["host", "twa", "covered_sec"]
     assert t.count() > 0
+
+
+# --------------------------------------------------------------------------
+# crawl-cadence stats
+# --------------------------------------------------------------------------
+
+
+def _py_cadence(ts):
+    import math
+
+    ts = sorted(ts)
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    n = len(gaps)
+    s = sum(gaps)
+    ss = sum(g * g for g in gaps)
+    mean = s / n
+    var = max((ss - s * s / n) / n, 0.0)
+    cv = math.sqrt(var) / mean if n >= 2 and s > 0 else None
+    return n, mean, cv, max(gaps)
+
+
+def test_cadence_stats_matches_reference(spark):
+    from mimirsbrunn_spark.operators import counters
+
+    cases = {
+        "regular": [i * 3600 for i in range(10)],          # metronomic: cv 0
+        "bursty": [0, 10, 20, 30, 86400, 86410, 200000],
+        "dup": [0, 100, 100, 200],                          # zero-length gap counts
+        "single": [5],                                      # no gaps: absent
+        "two": [0, 50],                                     # 1 gap: cv NULL
+    }
+    rows = [(k, t) for k, ts in cases.items() for t in ts]
+    df = spark.createDataFrame(rows, "host string, ts_sec long")
+    out = {
+        r.host: (r.n_gaps, r.mean_gap, r.cv, r.max_gap)
+        for r in counters.cadence_stats(df).collect()
+    }
+    assert "single" not in out
+    for k, ts in cases.items():
+        if len(ts) < 2:
+            continue
+        n, mean, cv, mx = _py_cadence(ts)
+        gn, gm, gcv, gmx = out[k]
+        assert (gn, gm, gmx) == (n, mean, mx), k
+        assert (gcv is None) == (cv is None)
+        if cv is not None:
+            assert abs(gcv - cv) < 1e-12, k
+    assert out["regular"][2] == 0.0
+
+
+def test_cadence_stats_decimal_no_overflow_and_plan(spark):
+    from mimirsbrunn_spark.operators import counters
+
+    # 2000 year-scale gaps: sum of squares ~2e18*2000 overflows a long sum
+    big = spark.createDataFrame(
+        [("h", i * 31_000_000) for i in range(2000)], "host string, ts_sec long"
+    )
+    r = counters.cadence_stats(big).collect()[0]
+    assert r.n_gaps == 1999 and r.cv == 0.0 and r.max_gap == 31_000_000
+    plan = (
+        counters.cadence_stats(big)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # groupBy rides the lag-window partitioning
